@@ -1,0 +1,9 @@
+from setuptools import find_packages, setup
+
+setup(
+    name="swiftllm-tpu",
+    version="0.1.0",
+    description="A tiny TPU-native LLM serving framework (JAX/XLA/Pallas)",
+    packages=find_packages(include=["swiftllm_tpu", "swiftllm_tpu.*"]),
+    python_requires=">=3.10",
+)

@@ -1,0 +1,173 @@
+"""Engine and model configuration.
+
+Capability parity with the reference's ``swiftllm/engine_config.py:4-84`` and
+``swiftllm/model_config.py:5-46``, extended with TPU-first knobs (mesh shape,
+static-shape bucketing, quantization, chunked prefill).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+
+from swiftllm_tpu.utils import cdiv
+
+
+@dataclasses.dataclass
+class EngineConfig:
+    """All engine knobs.
+
+    The reference defaults (engine_config.py:25-84) are tuned for an 80GB GPU;
+    defaults here are tuned for one TPU v5e chip (16 GB HBM) but every knob is
+    still a knob.
+    """
+
+    # --- model / weights ---
+    model_path: str = ""
+    use_dummy: bool = False            # random weights, no checkpoint (reference engine_config.py:36-40)
+    dtype: str = "bfloat16"            # activations+weights compute dtype
+    quant: str = "none"                # weight quantization: none | int8 | int4
+    kv_quant: str = "none"             # KV-cache quantization: none | fp8
+
+    # --- paged KV cache ---
+    block_size: int = 16               # tokens per KV page (reference default 16)
+    hbm_mem_utilization: float = 0.9   # fraction of free HBM given to the KV cache
+    num_hbm_blocks: int | None = None  # explicit page-count override (skips profiling)
+    num_cpu_blocks: int = 2048         # host-offload swap space, in pages
+    max_seqs_in_block_table: int = 1024
+    max_blocks_per_seq: int = 2048     # => 32Ki tokens/seq at block_size 16
+
+    # --- batching ---
+    max_batch_size: int = 128          # max sequences per step
+    max_tokens_in_batch: int = 2048    # per-step flat-token budget
+    prefill_chunk_size: int = 512      # SARATHI chunk; prompts longer than this are
+                                       # prefilled over several steps, piggybacked on decodes
+    enable_chunked_prefill: bool = True
+
+    # --- static-shape bucketing (XLA compiles one program per bucket tuple) ---
+    token_buckets: tuple[int, ...] = ()      # default derived: pow2 from 16 .. max_tokens_in_batch
+    page_buckets: tuple[int, ...] = ()       # default derived: pow2 from 16 .. max_blocks_per_seq
+
+    # --- parallelism ---
+    tp_size: int = 1                   # tensor-parallel mesh axis ("tp")
+    dp_size: int = 1                   # data-parallel mesh axis ("dp")
+
+    # --- serving ---
+    max_output_len: int = 4096
+    eos_stop: bool = True              # stop on EOS token (reference has no EOS handling, structs.py:57)
+
+    # --- kernels ---
+    use_pallas: bool = True            # Pallas kernels for the hot path; False = pure-jnp reference path
+
+    def __post_init__(self):
+        if not self.token_buckets:
+            buckets, b = [], 16
+            while b < self.max_tokens_in_batch:
+                buckets.append(b)
+                b *= 2
+            buckets.append(self.max_tokens_in_batch)
+            self.token_buckets = tuple(sorted(set(buckets)))
+        if not self.page_buckets:
+            buckets, b = [], 16
+            while b < self.max_blocks_per_seq:
+                buckets.append(b)
+                b *= 2
+            buckets.append(self.max_blocks_per_seq)
+            self.page_buckets = tuple(sorted(set(buckets)))
+
+    @property
+    def max_seq_len(self) -> int:
+        return self.max_blocks_per_seq * self.block_size
+
+    @staticmethod
+    def add_cli_args(parser: argparse.ArgumentParser):
+        """Register every knob as a CLI flag (reference engine_config.py:25-84)."""
+        for f in dataclasses.fields(EngineConfig):
+            name = "--" + f.name.replace("_", "-")
+            if f.type == "bool" or isinstance(f.default, bool):
+                parser.add_argument(name, type=lambda s: s.lower() in ("1", "true", "yes"),
+                                    default=f.default)
+            elif f.name in ("token_buckets", "page_buckets"):
+                continue
+            elif f.name == "num_hbm_blocks":
+                parser.add_argument(name, type=int, default=None)
+            else:
+                parser.add_argument(name, type=type(f.default), default=f.default)
+
+    @staticmethod
+    def from_cli_args(args: argparse.Namespace) -> "EngineConfig":
+        names = {f.name for f in dataclasses.fields(EngineConfig)}
+        return EngineConfig(**{k: v for k, v in vars(args).items() if k in names})
+
+
+@dataclasses.dataclass
+class LlamaModelConfig:
+    """Llama-family architecture description, parsed from HF ``config.json``
+    (reference model_config.py:5-46)."""
+
+    num_layers: int
+    num_q_heads: int
+    num_kv_heads: int
+    hidden_size: int
+    head_dim: int
+    ffn_inter_dim: int
+    vocab_size: int
+    max_position_embeddings: int
+    rms_norm_eps: float
+    rope_theta: float = 10000.0
+    rope_scaling: dict | float | None = None
+    tie_word_embeddings: bool = False
+    bos_token_id: int | None = None
+    eos_token_id: int | list[int] | None = None
+
+    def __post_init__(self):
+        assert self.num_q_heads % self.num_kv_heads == 0
+
+    @property
+    def gqa_group_size(self) -> int:
+        return self.num_q_heads // self.num_kv_heads
+
+    def kv_slot_bytes(self, itemsize: int) -> int:
+        """Bytes of K+V for ONE token across ALL layers (model_config.py:36-41)."""
+        return 2 * self.num_layers * self.num_kv_heads * self.head_dim * itemsize
+
+    def block_bytes(self, block_size: int, itemsize: int) -> int:
+        return self.kv_slot_bytes(itemsize) * block_size
+
+    @staticmethod
+    def from_hf_dict(cfg: dict) -> "LlamaModelConfig":
+        assert cfg.get("model_type", "llama") == "llama", \
+            f"only llama-family models are supported, got {cfg.get('model_type')}"
+        assert cfg.get("hidden_act", "silu") == "silu"
+        hidden = cfg["hidden_size"]
+        n_q = cfg["num_attention_heads"]
+        return LlamaModelConfig(
+            num_layers=cfg["num_hidden_layers"],
+            num_q_heads=n_q,
+            num_kv_heads=cfg.get("num_key_value_heads", n_q),
+            hidden_size=hidden,
+            head_dim=cfg.get("head_dim") or hidden // n_q,
+            ffn_inter_dim=cfg["intermediate_size"],
+            vocab_size=cfg["vocab_size"],
+            max_position_embeddings=cfg.get("max_position_embeddings", 2048),
+            rms_norm_eps=cfg.get("rms_norm_eps", 1e-5),
+            rope_theta=cfg.get("rope_theta", 10000.0),
+            rope_scaling=cfg.get("rope_scaling"),
+            tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+            bos_token_id=cfg.get("bos_token_id"),
+            eos_token_id=cfg.get("eos_token_id"),
+        )
+
+    @staticmethod
+    def load_from_model_path(model_path: str) -> "LlamaModelConfig":
+        with open(os.path.join(model_path, "config.json"), encoding="utf-8") as f:
+            return LlamaModelConfig.from_hf_dict(json.load(f))
+
+    def eos_token_ids(self) -> set[int]:
+        if self.eos_token_id is None:
+            return set()
+        if isinstance(self.eos_token_id, int):
+            return {self.eos_token_id}
+        return set(self.eos_token_id)
