@@ -1,0 +1,325 @@
+"""Llama-family forward pass, TPU-native.
+
+Design (vs reference swiftllm/worker/model.py + layers/*):
+
+- ONE jitted SPMD program per step instead of ~10 kernel launches per layer
+  from Python (reference model.py:238-246): embedding → ``lax.scan`` over
+  stacked layer weights → final norm → sampling, all inside ``jax.shard_map``
+  over a ("dp", "tp") mesh. On one chip the mesh is 1x1 and every collective
+  is a no-op.
+
+- The step consumes ONE flat token batch: prefill chunks and decode tokens
+  mixed (SARATHI piggybacking — the reference's two-stream event dance,
+  transformer_layer.py:78-114, disappears into a single dispatch).
+
+- The paged KV cache is an HBM-resident array ``[L, S, 2, n_kv, head_dim]``
+  (S = flat KV slots = (num_pages+1) * page_size, the +1 a garbage page that
+  padding tokens write into; axis 2 is K/V). It is donated to the jit and
+  updated with one scatter per layer, which XLA performs in place.
+
+- All shapes are static: the host pads tokens/rows/pages to buckets
+  (worker/batch_builder.py), so XLA compiles one program per bucket tuple.
+
+Numerics match HF ``LlamaForCausalLM``: RMSNorm variance in fp32 with cast
+back before the weight multiply, rotary in half-split (rotate_half) layout,
+fp32 attention softmax, fp32 logits.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from swiftllm_tpu.config import LlamaModelConfig
+from swiftllm_tpu.parallel.mesh import AXIS_DP, AXIS_TP
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class StepBatch:
+    """Device-side descriptor of one step's flat token batch. All arrays are
+    padded to static bucket sizes (T tokens, B rows, P pages-per-seq).
+
+    Replaces the reference's LlamaInferState (swiftllm/worker/infer_state.py:4-29).
+    """
+
+    token_ids: jax.Array    # i32[T]   flat new tokens (pad 0)
+    positions: jax.Array    # i32[T]   position of each token in its sequence (pad 0)
+    kv_slots: jax.Array     # i32[T]   flat cache slot each token's KV is written to
+                            #          (pad → the garbage page)
+    q_starts: jax.Array     # i32[B]   first flat-token index of each row (pad T)
+    q_lens: jax.Array       # i32[B]   tokens fed for each row this step (pad 0)
+    seq_lens: jax.Array     # i32[B]   total KV length of each row AFTER this step (pad 0)
+    page_table: jax.Array   # i32[B,P] page ids per row (pad 0, masked via seq_lens)
+    sample_mask: jax.Array  # bool[B]  row produces a sampled token this step
+
+
+# ---------------------------------------------------------------------------------
+# RoPE
+# ---------------------------------------------------------------------------------
+
+def compute_inv_freq(cfg: LlamaModelConfig) -> np.ndarray:
+    """Rotary inverse frequencies with Llama-3 / linear scaling applied.
+
+    The reference builds full cos/sin tables on the GPU (model.py:177-225);
+    on TPU cos/sin are cheap to compute in-program from positions, so only
+    the [head_dim//2] inv_freq vector is kept. Scaling semantics follow HF:
+    - "linear": inv_freq / factor
+    - "llama3": per-frequency low/high-band smoothing (model.py:193-217)
+    """
+    hd = cfg.head_dim
+    inv_freq = 1.0 / (cfg.rope_theta ** (np.arange(0, hd, 2, dtype=np.float64) / hd))
+    scaling = cfg.rope_scaling
+    if scaling is None:
+        pass
+    elif isinstance(scaling, (int, float)):
+        inv_freq = inv_freq / float(scaling)
+    elif isinstance(scaling, dict):
+        rope_type = scaling.get("rope_type", scaling.get("type", "default"))
+        if rope_type == "linear":
+            inv_freq = inv_freq / float(scaling["factor"])
+        elif rope_type == "llama3":
+            factor = float(scaling["factor"])
+            low = float(scaling["low_freq_factor"])
+            high = float(scaling["high_freq_factor"])
+            orig = float(scaling["original_max_position_embeddings"])
+            wavelen = 2 * np.pi / inv_freq
+            low_wl = orig / low
+            high_wl = orig / high
+            smooth = (orig / wavelen - low) / (high - low)
+            scaled = np.where(
+                wavelen > low_wl, inv_freq / factor,
+                np.where(wavelen < high_wl, inv_freq,
+                         (1 - smooth) / factor * inv_freq + smooth * inv_freq))
+            inv_freq = scaled
+        elif rope_type == "default":
+            pass
+        else:
+            raise NotImplementedError(f"rope_scaling type {rope_type!r}")
+    return inv_freq.astype(np.float32)
+
+
+def apply_rope(x: jax.Array, positions: jax.Array, inv_freq: jax.Array) -> jax.Array:
+    """Half-split (rotate_half) rotary embedding, HF convention.
+
+    x: [T, n_heads, head_dim]; positions: i32[T]; inv_freq: f32[head_dim//2].
+    """
+    angles = positions.astype(jnp.float32)[:, None] * inv_freq[None, :]   # [T, hd/2]
+    cos = jnp.cos(angles).astype(x.dtype)[:, None, :]                     # [T, 1, hd/2]
+    sin = jnp.sin(angles).astype(x.dtype)[:, None, :]
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    """HF LlamaRMSNorm: fp32 variance, cast back BEFORE the weight multiply."""
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    normed = (x32 * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+    return normed * weight
+
+
+# ---------------------------------------------------------------------------------
+# Attention over the paged cache — pure-jnp reference path.
+# The Pallas kernels (swiftllm_tpu/ops/) implement the same contract.
+# ---------------------------------------------------------------------------------
+
+def _ragged_paged_attention_jnp(
+    q: jax.Array,           # [T, n_q_local, hd]
+    cache_l: jax.Array,     # [S_local, 2, n_kv_local, hd] — this layer, this shard
+    batch: StepBatch,
+    *,
+    page_size: int,
+    sm_scale: float,
+    q_bucket: int,
+) -> jax.Array:             # [T, n_q_local, hd]
+    """Gather-based attention: every row attends over its own paged KV.
+
+    Correctness reference for the Pallas kernel; materializes the gathered KV
+    in HBM, so it is only used for tests/fallback (``use_pallas=False``).
+
+    ``q_bucket`` is the static max new-tokens-per-row this step (1 for
+    decode-only buckets, the prefill chunk size for mixed buckets).
+    """
+    T, n_q, hd = q.shape
+    B, Pg = batch.page_table.shape
+    n_kv = cache_l.shape[2]
+    group = n_q // n_kv
+    K = Pg * page_size
+
+    # [B, K] flat slot ids of every row's KV positions.
+    slot_ids = (batch.page_table[:, :, None] * page_size
+                + jnp.arange(page_size, dtype=jnp.int32)[None, None, :]).reshape(B, K)
+    kv = cache_l[slot_ids]                          # [B, K, 2, n_kv, hd]
+    k, v = kv[:, :, 0], kv[:, :, 1]
+
+    # Dense query view: [B, Q] flat-token indices (pad → extra zero row at T).
+    # Row b's queries are flat tokens q_starts[b] .. q_starts[b]+q_lens[b]-1.
+    Q = q_bucket
+    q_iota = jnp.arange(Q, dtype=jnp.int32)
+    q_tok = jnp.where(q_iota[None, :] < batch.q_lens[:, None],
+                      batch.q_starts[:, None] + q_iota[None, :], T)        # [B, Q]
+    q_pad = jnp.concatenate([q, jnp.zeros((1, n_q, hd), q.dtype)], axis=0)
+    qd = q_pad[q_tok]                                # [B, Q, n_q, hd]
+    q_pos_pad = jnp.concatenate([batch.positions, jnp.zeros((1,), jnp.int32)])
+    q_pos = q_pos_pad[q_tok]                         # [B, Q]
+
+    # scores [B, n_kv, g, Q, K] in fp32
+    qd = qd.reshape(B, Q, n_kv, group, hd)
+    scores = jnp.einsum("bqngd,bknd->bngqk", qd, k,
+                        preferred_element_type=jnp.float32) * sm_scale
+    key_pos = jnp.arange(K, dtype=jnp.int32)
+    valid = ((key_pos[None, None, :] <= q_pos[:, :, None])
+             & (key_pos[None, None, :] < batch.seq_lens[:, None, None]))   # [B, Q, K]
+    scores = jnp.where(valid[:, None, None, :, :], scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bngqk,bknd->bqngd", probs, v.astype(jnp.float32))
+    out = out.reshape(B, Q, n_q, hd).astype(q.dtype)
+
+    # Scatter dense rows back to the flat token layout.
+    o_flat = jnp.zeros((T + 1, n_q, hd), q.dtype).at[q_tok].set(out)
+    return o_flat[:T]
+
+
+# ---------------------------------------------------------------------------------
+# The transformer
+# ---------------------------------------------------------------------------------
+
+def _attention_dispatch(q, cache_l, batch, *, page_size, sm_scale, use_pallas, q_bucket):
+    if use_pallas:
+        from swiftllm_tpu.ops.paged_attention import ragged_paged_attention
+        return ragged_paged_attention(q, cache_l, batch, page_size=page_size,
+                                      sm_scale=sm_scale, q_bucket=q_bucket)
+    return _ragged_paged_attention_jnp(q, cache_l, batch, page_size=page_size,
+                                       sm_scale=sm_scale, q_bucket=q_bucket)
+
+
+def forward_shard(
+    params: dict[str, Any],
+    kv_cache: jax.Array,     # [L, S_local, 2*n_kv_local, hd]
+    batch: StepBatch,        # per-dp-shard slices
+    *,
+    cfg: LlamaModelConfig,
+    page_size: int,
+    q_bucket: int,
+    use_pallas: bool,
+    return_logits: bool = False,
+):
+    """Per-shard SPMD body. Runs inside shard_map; collectives over "tp".
+
+    Returns (sampled_tokens i32[B_local], new kv_cache[, logits f32[B_local, V]]).
+    """
+    T = batch.token_ids.shape[0]
+    hd = cfg.head_dim
+    sm_scale = 1.0 / float(np.sqrt(hd))
+    eps = cfg.rms_norm_eps
+    inv_freq = params["inv_freq"]
+
+    tp_size = jax.lax.axis_size(AXIS_TP)
+    tp_rank = jax.lax.axis_index(AXIS_TP)
+
+    def psum_tp(x):
+        return jax.lax.psum(x, AXIS_TP) if tp_size > 1 else x
+
+    # --- embedding (vocab-sharded): mask + gather + psum ---
+    embed = params["embed"]                      # [V_local, D]
+    v_local = embed.shape[0]
+    local_ids = batch.token_ids - tp_rank * v_local
+    in_range = (local_ids >= 0) & (local_ids < v_local)
+    x = jnp.where(in_range[:, None],
+                  embed[jnp.clip(local_ids, 0, v_local - 1)], 0)
+    x = psum_tp(x)                               # [T, D]
+
+    # --- layer scan ---
+    L = kv_cache.shape[0]
+
+    def layer_step(carry, scanned):
+        x, cache = carry
+        l, w = scanned
+        h = rms_norm(x, w["attn_norm"], eps)
+        n_q_l = w["wq"].shape[-1] // hd
+        n_kv_l = w["wk"].shape[-1] // hd
+        q = (h @ w["wq"]).reshape(T, n_q_l, hd)
+        k = (h @ w["wk"]).reshape(T, n_kv_l, hd)
+        v = (h @ w["wv"]).reshape(T, n_kv_l, hd)
+        q = apply_rope(q, batch.positions, inv_freq)
+        k = apply_rope(k, batch.positions, inv_freq)
+
+        kv_new = jnp.stack([k, v], axis=1)                  # [T, 2, n_kv_l, hd]
+        cache = cache.at[l, batch.kv_slots].set(kv_new)     # in-place on donated buffer
+
+        attn = _attention_dispatch(q, cache[l], batch, page_size=page_size,
+                                   sm_scale=sm_scale, use_pallas=use_pallas,
+                                   q_bucket=q_bucket)
+        attn = attn.reshape(T, n_q_l * hd)
+        x = x + psum_tp(attn @ w["wo"])
+
+        h = rms_norm(x, w["ffn_norm"], eps)
+        gate = jax.nn.silu((h @ w["w_gate"]).astype(jnp.float32)).astype(x.dtype)
+        ffn = (gate * (h @ w["w_up"])) @ w["w_down"]
+        x = x + psum_tp(ffn)
+        return (x, cache), None
+
+    (x, kv_cache), _ = jax.lax.scan(
+        layer_step, (x, kv_cache),
+        (jnp.arange(L, dtype=jnp.int32), params["layers"]))
+
+    x = rms_norm(x, params["final_norm"], eps)
+
+    # --- sampling head (greedy argmax over the vocab-sharded lm_head) ---
+    B = batch.q_starts.shape[0]
+    last_tok = jnp.where(batch.q_lens > 0,
+                         batch.q_starts + batch.q_lens - 1, T)              # [B]
+    x_pad = jnp.concatenate([x, jnp.zeros((1, x.shape[1]), x.dtype)], axis=0)
+    h_last = x_pad[last_tok]                                                # [B, D]
+    logits = (h_last @ params["lm_head"].T.astype(h_last.dtype)
+              ).astype(jnp.float32)                                         # [B, V_local]
+    # Mask vocab-padding rows (vocab padded to a multiple of tp in the loader).
+    vocab_ids = tp_rank * v_local + jnp.arange(v_local, dtype=jnp.int32)
+    logits = jnp.where(vocab_ids[None, :] < cfg.vocab_size, logits, -jnp.inf)
+
+    local_max = jnp.max(logits, axis=-1)                                    # [B]
+    local_arg = jnp.argmax(logits, axis=-1).astype(jnp.int32)               # [B]
+    if tp_size > 1:
+        maxes = jax.lax.all_gather(local_max, AXIS_TP)                      # [tp, B]
+        args = jax.lax.all_gather(local_arg, AXIS_TP)                       # [tp, B]
+        win = jnp.argmax(maxes, axis=0)                                     # [B]
+        tokens = (jnp.take_along_axis(args, win[None, :], axis=0)[0]
+                  + win.astype(jnp.int32) * v_local)
+    else:
+        tokens = local_arg
+
+    if return_logits:
+        full = (jax.lax.all_gather(logits, AXIS_TP, axis=1, tiled=True)
+                if tp_size > 1 else logits)
+        return tokens, kv_cache, full
+    return tokens, kv_cache
+
+
+
+def make_step_fn(mesh, cfg: LlamaModelConfig, *, page_size: int, q_bucket: int,
+                 use_pallas: bool, return_logits: bool = False):
+    """Build the jitted SPMD step for a given mesh. KV cache is donated."""
+    from swiftllm_tpu.parallel.mesh import BATCH_SPECS, KV_CACHE_SPEC, PARAM_SPECS
+
+    batch_specs = StepBatch(**BATCH_SPECS)
+    out_specs = (P(AXIS_DP), KV_CACHE_SPEC) + ((P(AXIS_DP, None),) if return_logits else ())
+
+    def step(params, kv_cache, batch):
+        return forward_shard(params, kv_cache, batch, cfg=cfg, page_size=page_size,
+                             q_bucket=q_bucket, use_pallas=use_pallas,
+                             return_logits=return_logits)
+
+    sharded = jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(PARAM_SPECS, KV_CACHE_SPEC, batch_specs),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(1,))

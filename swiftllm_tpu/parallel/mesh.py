@@ -1,0 +1,80 @@
+"""Device mesh and sharding layout.
+
+The reference is single-GPU with no collectives (SURVEY.md §2.5). Here
+parallelism is first-class: the whole forward step runs SPMD under
+``jax.shard_map`` over a 2-D mesh:
+
+- axis ``"dp"`` (data): shards *sequences* — each dp group owns a slice of the
+  KV page pool, of the batch rows, and of the flat token stream. Single-step
+  continuous batching across dp groups, one compiled program for all.
+- axis ``"tp"`` (tensor): shards attention heads / FFN channels / vocab. The
+  only cross-chip traffic is two psums per layer plus a tiny sampling
+  all-gather, all riding ICI.
+
+A single chip is the degenerate 1x1 mesh: the same program, with every psum a
+no-op, so multi-chip is a config change, not a rewrite.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+AXIS_DP = "dp"
+AXIS_TP = "tp"
+
+
+def make_mesh(dp_size: int = 1, tp_size: int = 1, devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    n = dp_size * tp_size
+    assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
+    arr = np.asarray(devices[:n]).reshape(dp_size, tp_size)
+    return Mesh(arr, (AXIS_DP, AXIS_TP))
+
+
+# --- PartitionSpecs --------------------------------------------------------------
+# Weights: replicated over dp, head/channel-sharded over tp.
+PARAM_SPECS = {
+    "embed": P(AXIS_TP, None),            # [V, D] vocab-sharded
+    "lm_head": P(AXIS_TP, None),          # [V, D] vocab-sharded
+    "final_norm": P(),                    # [D]
+    "inv_freq": P(),                      # [head_dim//2]
+    "layers": {
+        "attn_norm": P(),                 # [L, D]
+        "wq": P(None, None, AXIS_TP),     # [L, D, n_q*hd]    out-sharded (column)
+        "wk": P(None, None, AXIS_TP),     # [L, D, n_kv*hd]
+        "wv": P(None, None, AXIS_TP),
+        "wo": P(None, AXIS_TP, None),     # [L, n_q*hd, D]    in-sharded (row)
+        "ffn_norm": P(),
+        "w_gate": P(None, None, AXIS_TP), # [L, D, F]
+        "w_up": P(None, None, AXIS_TP),
+        "w_down": P(None, AXIS_TP, None), # [L, F, D]
+    },
+}
+
+# KV cache [L, S, 2, n_kv, hd]: flat slots sharded over dp (each dp group owns
+# its page pool), kv heads sharded over tp. Axis 2 separates K and V so the
+# head axis shards cleanly.
+KV_CACHE_SPEC = P(None, AXIS_DP, None, AXIS_TP, None)
+
+# Batch descriptor: token-axis and seq-row-axis arrays shard over dp.
+BATCH_SPECS = {
+    "token_ids": P(AXIS_DP),
+    "positions": P(AXIS_DP),
+    "kv_slots": P(AXIS_DP),
+    "q_starts": P(AXIS_DP),
+    "q_lens": P(AXIS_DP),
+    "seq_lens": P(AXIS_DP),
+    "page_table": P(AXIS_DP, None),
+    "sample_mask": P(AXIS_DP),
+}
+
+OUT_TOKEN_SPEC = P(AXIS_DP)     # sampled token per batch row
+
+
+def named(mesh: Mesh, spec_tree):
+    """Map a PartitionSpec pytree to NamedShardings on `mesh`."""
+    return jax.tree.map(lambda s: NamedSharding(mesh, s), spec_tree,
+                        is_leaf=lambda x: isinstance(x, P))

@@ -1,0 +1,142 @@
+"""Host-side batch builder: ScheduledSeqs → a padded, static-shape StepBatch.
+
+This is the host half of the data plane. The reference builds its per-step
+metadata as dynamic-size GPU tensors (swiftllm/worker/model.py:251-354); on
+TPU every array is padded to a bucket so XLA compiles a small, fixed set of
+programs. The builder also performs page allocation (via the host
+BlockManager) and computes each token's flat KV-slot destination.
+
+dp support: sequences are pre-partitioned into ``dp`` groups (one BlockManager
+per group, each owning its own page pool). Group g's arrays occupy the g-th
+equal slice of every batch axis, matching the "dp"-sharded NamedShardings.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from swiftllm_tpu.config import EngineConfig
+from swiftllm_tpu.models.llama import StepBatch
+from swiftllm_tpu.server.scheduler import ScheduledSeq
+from swiftllm_tpu.utils import cdiv, next_power_of_2
+from swiftllm_tpu.worker.block_manager import BlockManager
+
+
+@dataclasses.dataclass(frozen=True)
+class BucketKey:
+    """Static shape signature of one compiled step program."""
+    tokens: int      # T_local (per dp shard)
+    rows: int        # B_local
+    pages: int       # P (pages-per-seq axis)
+    q_len: int       # Q (max new tokens per row)
+
+
+def _pick_bucket(buckets: tuple[int, ...], needed: int) -> int:
+    for b in buckets:
+        if b >= needed:
+            return b
+    raise RuntimeError(f"needed {needed} exceeds largest bucket {buckets[-1]}")
+
+
+def select_buckets(groups: list[list[ScheduledSeq]], cfg: EngineConfig) -> BucketKey:
+    max_tokens = max(sum(s.n_tokens for s in g) for g in groups)
+    max_rows = max(len(g) for g in groups)
+    max_q = max((s.n_tokens for g in groups for s in g), default=1)
+    max_pages = max((cdiv(s.request.num_cached_tokens + s.n_tokens, cfg.block_size)
+                     for g in groups for s in g), default=1)
+    return BucketKey(
+        tokens=_pick_bucket(cfg.token_buckets, max(max_tokens, 1)),
+        rows=min(next_power_of_2(max(max_rows, 1)), next_power_of_2(cfg.max_batch_size)),
+        pages=_pick_bucket(cfg.page_buckets, max_pages),
+        q_len=next_power_of_2(max_q),
+    )
+
+
+def build_step_batch(
+    groups: list[list[ScheduledSeq]],
+    block_mgrs: list[BlockManager],
+    cfg: EngineConfig,
+    key: BucketKey | None = None,
+) -> tuple[StepBatch, BucketKey, list[ScheduledSeq]]:
+    """Allocate pages for every scheduled token and assemble the numpy StepBatch.
+
+    Returns (batch, bucket_key, rows) where rows[i] is the ScheduledSeq whose
+    sampled token is out_tokens[i] (global row order, group-major).
+    """
+    assert len(groups) == len(block_mgrs)
+    dp = len(groups)
+    if key is None:
+        key = select_buckets(groups, cfg)
+    T, B, Pg, Q = key.tokens, key.rows, key.pages, key.q_len
+    ps = cfg.block_size
+
+    token_ids = np.zeros((dp, T), np.int32)
+    positions = np.zeros((dp, T), np.int32)
+    kv_slots = np.zeros((dp, T), np.int32)
+    q_starts = np.full((dp, B), T, np.int32)
+    q_lens = np.zeros((dp, B), np.int32)
+    seq_lens = np.zeros((dp, B), np.int32)
+    page_table = np.zeros((dp, B, Pg), np.int32)
+    sample_mask = np.zeros((dp, B), bool)
+
+    rows: list[ScheduledSeq] = [None] * (dp * B)  # type: ignore
+
+    for g, (group, mgr) in enumerate(zip(groups, block_mgrs)):
+        assert len(group) <= B, f"dp group {g} has {len(group)} rows > bucket {B}"
+        garbage_slot = mgr.num_blocks * ps
+        kv_slots[g, :] = garbage_slot
+        cursor = 0
+        for b, s in enumerate(group):
+            r = s.request
+            n = s.n_tokens
+            start, end = r.num_cached_tokens, r.num_cached_tokens + n
+            mgr.allocate_for_seq(r.seq_id, end)
+            pages = mgr.seq_block_ids(r.seq_id)
+            npages = len(pages)
+            assert npages <= Pg, f"seq {r.seq_id} has {npages} pages > bucket {Pg}"
+
+            token_ids[g, cursor:cursor + n] = r.all_token_ids[start:end]
+            pos = np.arange(start, end, dtype=np.int32)
+            positions[g, cursor:cursor + n] = pos
+            kv_slots[g, cursor:cursor + n] = pages[pos // ps] * ps + pos % ps
+            q_starts[g, b] = cursor
+            q_lens[g, b] = n
+            seq_lens[g, b] = end
+            page_table[g, b, :npages] = pages
+            sample_mask[g, b] = s.samples_token
+            rows[g * B + b] = s
+            cursor += n
+        assert cursor <= T, f"dp group {g}: {cursor} tokens > bucket {T}"
+
+    batch = StepBatch(
+        token_ids=token_ids.reshape(dp * T),
+        positions=positions.reshape(dp * T),
+        kv_slots=kv_slots.reshape(dp * T),
+        q_starts=q_starts.reshape(dp * B),
+        q_lens=q_lens.reshape(dp * B),
+        seq_lens=seq_lens.reshape(dp * B),
+        page_table=page_table.reshape(dp * B, Pg),
+        sample_mask=sample_mask.reshape(dp * B),
+    )
+    return batch, key, rows
+
+
+def partition_for_dp(scheduled: list[ScheduledSeq], dp: int) -> list[list[ScheduledSeq]]:
+    """Greedy token-balanced partition of a step's sequences into dp groups.
+
+    NOTE: with dp>1 each sequence's pages must live in that group's pool, so
+    the assignment must be sticky per request across steps. The engine pins a
+    request to a dp group at admission (request.seq_id encodes the group via
+    round-robin); this helper is for single-step/offline use.
+    """
+    if dp == 1:
+        return [scheduled]
+    groups: list[list[ScheduledSeq]] = [[] for _ in range(dp)]
+    loads = [0] * dp
+    for s in sorted(scheduled, key=lambda s: -s.n_tokens):
+        g = loads.index(min(loads))
+        groups[g].append(s)
+        loads[g] += s.n_tokens
+    return groups

@@ -1,0 +1,269 @@
+"""LlamaModel — the data-plane worker.
+
+Capability parity with the reference's ``swiftllm/worker/model.py:18-408``
+(load_weights / profile_num_blocks / init_kvcache_and_swap / forward /
+swap_in_seqs / swap_out_seqs / free_seqs_resources), redesigned TPU-first:
+
+- ``forward`` consumes a list of ScheduledSeqs (mixed prefill chunks +
+  decodes), pads to static buckets, and runs ONE jitted SPMD program.
+- ``profile_num_blocks`` sizes the KV cache from the compiled program's
+  ``memory_analysis()`` instead of the reference's run-and-measure forged
+  forward (model.py:93-131) — no OOM risk, no throwaway work.
+- Swap in/out is ``jax.device_put``/``device_get`` of gathered cache pages to
+  a pinned host buffer, replacing the reference's C++ ``swap_blocks``
+  cudaMemcpyAsync extension (csrc/src/block_swapping.cpp:22-85).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from swiftllm_tpu.config import EngineConfig, LlamaModelConfig
+from swiftllm_tpu.models.llama import StepBatch, make_step_fn
+from swiftllm_tpu.parallel.mesh import (AXIS_DP, AXIS_TP, BATCH_SPECS, KV_CACHE_SPEC,
+                                        make_mesh, named)
+from swiftllm_tpu.server.scheduler import ScheduledSeq
+from swiftllm_tpu.server.structs import Request
+from swiftllm_tpu.utils import GB, cdiv, next_power_of_2
+from swiftllm_tpu.worker.batch_builder import BucketKey, build_step_batch
+from swiftllm_tpu.worker.block_manager import BlockManager
+
+
+class LlamaModel:
+    def __init__(self, engine_config: EngineConfig,
+                 model_config: LlamaModelConfig | None = None, mesh=None):
+        self.engine_config = engine_config
+        self.model_config = model_config or LlamaModelConfig.load_from_model_path(
+            engine_config.model_path)
+        self.mesh = mesh if mesh is not None else make_mesh(
+            engine_config.dp_size, engine_config.tp_size)
+        self.dp = self.mesh.shape[AXIS_DP]
+        self.tp = self.mesh.shape[AXIS_TP]
+        from swiftllm_tpu.worker.weights import effective_num_kv_heads
+        self.num_kv_eff = effective_num_kv_heads(self.model_config, self.tp)
+
+        self.dtype = jnp.dtype(engine_config.dtype)
+        self.params = None
+        self.kv_cache = None          # [L, dp*S_local, 2, n_kv, hd], donated each step
+        self.cpu_cache = None         # host numpy [L, cpu_slots, 2, n_kv, hd]
+        self.hbm_block_mgrs: list[BlockManager] = []
+        self.cpu_block_mgr: BlockManager | None = None
+        self.num_blocks_per_shard = 0
+        self._step_fns: dict[tuple, object] = {}
+        self._swap_fns: dict[tuple, object] = {}
+        self._batch_shardings = StepBatch(**named(self.mesh, BATCH_SPECS))
+        self._cache_sharding = NamedSharding(self.mesh, KV_CACHE_SPEC)
+
+    # --- init -----------------------------------------------------------------
+    def load_weights(self):
+        from swiftllm_tpu.worker.weights import load_params
+        self.params = load_params(self.engine_config, self.model_config, self.mesh)
+
+    def _weights_bytes(self) -> int:
+        return sum(x.nbytes for x in jax.tree.leaves(self.params))
+
+    def _cache_shape(self, num_blocks_per_shard: int) -> tuple[int, ...]:
+        mc, cfg = self.model_config, self.engine_config
+        s_local = (num_blocks_per_shard + 1) * cfg.block_size   # +1 garbage page
+        return (mc.num_layers, self.dp * s_local, 2, self.num_kv_eff, mc.head_dim)
+
+    def profile_num_blocks(self) -> int:
+        """Pages per dp shard that fit in HBM, from compiled-program memory stats
+        (replaces reference model.py:93-131 run-and-measure)."""
+        cfg = self.engine_config
+        if cfg.num_hbm_blocks is not None:
+            return cfg.num_hbm_blocks
+        dev = jax.devices()[0]
+        stats = dev.memory_stats() or {}
+        limit = stats.get("bytes_limit", 16 * GB)
+        in_use = stats.get("bytes_in_use", self._weights_bytes())
+
+        # Compile the worst-case bucket to learn peak temp usage.
+        key = BucketKey(tokens=cfg.token_buckets[-1],
+                        rows=next_power_of_2(cfg.max_batch_size),
+                        pages=cfg.page_buckets[-1],
+                        q_len=next_power_of_2(min(cfg.prefill_chunk_size,
+                                                  cfg.max_tokens_in_batch)))
+        probe_blocks = max(key.pages, 1)
+        compiled = self._lower(key, probe_blocks)
+        mem = compiled.memory_analysis()
+        temp = getattr(mem, "temp_size_in_bytes", 0)
+
+        mc = self.model_config
+        block_bytes = (2 * mc.num_layers * self.num_kv_eff * mc.head_dim
+                       * self.dtype.itemsize * cfg.block_size
+                       // self.tp)  # per-shard pages hold n_kv_eff/tp heads
+        usable = int(limit * cfg.hbm_mem_utilization) - in_use - temp
+        num = usable // (block_bytes * 1)
+        if num <= 0:
+            raise RuntimeError(
+                f"no HBM left for KV cache: limit={limit/GB:.1f}GB in_use={in_use/GB:.1f}GB "
+                f"temp={temp/GB:.1f}GB")
+        return int(num)
+
+    def init_kvcache_and_swap(self, num_blocks_per_shard: int | None = None):
+        cfg = self.engine_config
+        mc = self.model_config
+        if num_blocks_per_shard is None:
+            num_blocks_per_shard = self.profile_num_blocks()
+        self.num_blocks_per_shard = num_blocks_per_shard
+        shape = self._cache_shape(num_blocks_per_shard)
+        self.kv_cache = jax.jit(
+            lambda: jnp.zeros(shape, self.dtype),
+            out_shardings=self._cache_sharding)()
+        self.hbm_block_mgrs = [
+            BlockManager(f"hbm{g}", num_blocks_per_shard, cfg.block_size,
+                         cfg.max_seqs_in_block_table, cfg.max_blocks_per_seq)
+            for g in range(self.dp)]
+        self.cpu_block_mgr = BlockManager(
+            "cpu", cfg.num_cpu_blocks, cfg.block_size,
+            cfg.max_seqs_in_block_table, cfg.max_blocks_per_seq)
+        if cfg.num_cpu_blocks > 0:
+            self.cpu_cache = np.zeros(
+                (mc.num_layers, cfg.num_cpu_blocks * cfg.block_size, 2,
+                 self.num_kv_eff, mc.head_dim),
+                dtype=self.dtype)
+
+    @property
+    def num_hbm_blocks(self) -> int:
+        """Total page budget the scheduler sees (pages per dp shard — each shard
+        must be able to hold its share)."""
+        return self.num_blocks_per_shard
+
+    # --- the step --------------------------------------------------------------
+    def _get_step_fn(self, key: BucketKey, return_logits: bool = False):
+        k = (key.q_len, return_logits)
+        if k not in self._step_fns:
+            self._step_fns[k] = make_step_fn(
+                self.mesh, self.model_config, page_size=self.engine_config.block_size,
+                q_bucket=key.q_len, use_pallas=self.engine_config.use_pallas,
+                return_logits=return_logits)
+        return self._step_fns[k]
+
+    def _lower(self, key: BucketKey, num_blocks: int):
+        """AOT-compile the step for a bucket (for profiling / warmup)."""
+        mc, cfg = self.model_config, self.engine_config
+        dp = self.dp
+        s_local = (num_blocks + 1) * cfg.block_size
+        cache = jax.ShapeDtypeStruct(
+            (mc.num_layers, dp * s_local, 2, self.num_kv_eff, mc.head_dim),
+            self.dtype, sharding=self._cache_sharding)
+        sh = self._batch_shardings
+        batch = StepBatch(
+            token_ids=jax.ShapeDtypeStruct((dp * key.tokens,), jnp.int32, sharding=sh.token_ids),
+            positions=jax.ShapeDtypeStruct((dp * key.tokens,), jnp.int32, sharding=sh.positions),
+            kv_slots=jax.ShapeDtypeStruct((dp * key.tokens,), jnp.int32, sharding=sh.kv_slots),
+            q_starts=jax.ShapeDtypeStruct((dp * key.rows,), jnp.int32, sharding=sh.q_starts),
+            q_lens=jax.ShapeDtypeStruct((dp * key.rows,), jnp.int32, sharding=sh.q_lens),
+            seq_lens=jax.ShapeDtypeStruct((dp * key.rows,), jnp.int32, sharding=sh.seq_lens),
+            page_table=jax.ShapeDtypeStruct((dp * key.rows, key.pages), jnp.int32,
+                                            sharding=sh.page_table),
+            sample_mask=jax.ShapeDtypeStruct((dp * key.rows,), jnp.bool_,
+                                             sharding=sh.sample_mask),
+        )
+        params_sds = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding),
+            self.params)
+        fn = self._get_step_fn(key)
+        return fn.lower(params_sds, cache, batch).compile()
+
+    def forward(self, scheduled: list[ScheduledSeq],
+                groups: list[list[ScheduledSeq]] | None = None,
+                return_logits: bool = False):
+        """Run one step. Returns (tokens i32[dp*B_bucket], rows) — rows[i] is the
+        ScheduledSeq for row i (None for padding). The caller applies tokens to
+        requests where ``rows[i].samples_token``.
+        """
+        if groups is None:
+            assert self.dp == 1, "pass explicit dp groups when dp > 1"
+            groups = [scheduled]
+        batch_np, key, rows = build_step_batch(groups, self.hbm_block_mgrs,
+                                               self.engine_config)
+        batch = jax.tree.map(jax.device_put, batch_np, self._batch_shardings)
+        step = self._get_step_fn(key, return_logits)
+        out = step(self.params, self.kv_cache, batch)
+        if return_logits:
+            tokens, self.kv_cache, logits = out
+            return np.asarray(jax.device_get(tokens)), rows, np.asarray(jax.device_get(logits))
+        tokens, self.kv_cache = out
+        return np.asarray(jax.device_get(tokens)), rows
+
+    # --- swap (host offload) ------------------------------------------------------
+    # Whole-sequence granularity like the reference (SURVEY.md §3.4); page data
+    # moves as one gather/device_get (out) or device_put/scatter (in).
+
+    def _swap_gather_fn(self, n_pages_bucket: int):
+        k = ("gather", n_pages_bucket)
+        if k not in self._swap_fns:
+            ps = self.engine_config.block_size
+
+            def gather(cache, pages):
+                slots = (pages[:, None] * ps
+                         + jnp.arange(ps, dtype=jnp.int32)[None, :]).reshape(-1)
+                return cache[:, slots]
+            self._swap_fns[k] = jax.jit(gather)
+        return self._swap_fns[k]
+
+    def _swap_scatter_fn(self, n_pages_bucket: int):
+        k = ("scatter", n_pages_bucket)
+        if k not in self._swap_fns:
+            ps = self.engine_config.block_size
+
+            def scatter(cache, pages, data):
+                slots = (pages[:, None] * ps
+                         + jnp.arange(ps, dtype=jnp.int32)[None, :]).reshape(-1)
+                return cache.at[:, slots].set(data)
+            self._swap_fns[k] = jax.jit(scatter, donate_argnums=(0,))
+        return self._swap_fns[k]
+
+    def _pad_pages(self, pages: np.ndarray) -> tuple[np.ndarray, int]:
+        """Pad a page-id list to a pow2 bucket (pointing extras at the garbage
+        page) to bound swap-fn recompiles."""
+        n = len(pages)
+        bucket = next_power_of_2(max(n, 1))
+        padded = np.full(bucket, self.num_blocks_per_shard, np.int32)  # garbage page
+        padded[:n] = pages
+        return padded, n
+
+    def swap_out_seqs(self, requests: list[Request]):
+        assert self.dp == 1, "swap with dp>1 not yet supported"
+        cfg = self.engine_config
+        hbm, cpu = self.hbm_block_mgrs[0], self.cpu_block_mgr
+        for r in requests:
+            src_pages = hbm.seq_block_ids(r.seq_id).copy()
+            dst_pages = cpu.allocate_fresh_for_seq(r.seq_id, r.num_cached_tokens)
+            padded, n = self._pad_pages(src_pages)
+            data = self._swap_gather_fn(len(padded))(self.kv_cache, jnp.asarray(padded))
+            data = np.asarray(jax.device_get(data))[:, : n * cfg.block_size]
+            dst_slots = (dst_pages[:, None] * cfg.block_size
+                         + np.arange(cfg.block_size)[None, :]).reshape(-1)
+            self.cpu_cache[:, dst_slots] = data
+            hbm.free_seq(r.seq_id)
+
+    def swap_in_seqs(self, requests: list[Request]):
+        assert self.dp == 1, "swap with dp>1 not yet supported"
+        cfg = self.engine_config
+        hbm, cpu = self.hbm_block_mgrs[0], self.cpu_block_mgr
+        for r in requests:
+            src_pages = cpu.seq_block_ids(r.seq_id).copy()
+            dst_pages = hbm.allocate_fresh_for_seq(r.seq_id, r.num_cached_tokens)
+            src_slots = (src_pages[:, None] * cfg.block_size
+                         + np.arange(cfg.block_size)[None, :]).reshape(-1)
+            data = self.cpu_cache[:, src_slots]
+            padded, n = self._pad_pages(dst_pages)
+            pad_data = np.zeros((data.shape[0], len(padded) * cfg.block_size)
+                                + data.shape[2:], data.dtype)
+            pad_data[:, : n * cfg.block_size] = data
+            self.kv_cache = self._swap_scatter_fn(len(padded))(
+                self.kv_cache, jnp.asarray(padded), jnp.asarray(pad_data))
+            cpu.free_seq(r.seq_id)
+
+    def free_seqs_resources(self, requests: list[Request]):
+        """Release all pages of finished sequences (reference model.py:401-408)."""
+        for r in requests:
+            for mgr in self.hbm_block_mgrs:
+                mgr.free_seq(r.seq_id)
