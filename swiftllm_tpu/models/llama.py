@@ -191,12 +191,15 @@ def _ragged_paged_attention_jnp(
 # The transformer
 # ---------------------------------------------------------------------------------
 
-def _attention_dispatch(q, cache_l, batch, *, page_size, sm_scale, use_pallas, q_bucket):
+def _attention_dispatch(q, cache, layer, batch, *, page_size, sm_scale, use_pallas,
+                        q_bucket):
+    """cache: [L, S, 2, n_kv, hd]; layer: traced scalar. The Pallas kernel takes
+    the full cache + layer index so no per-layer slice is materialized in HBM."""
     if use_pallas:
         from swiftllm_tpu.ops.paged_attention import ragged_paged_attention
-        return ragged_paged_attention(q, cache_l, batch, page_size=page_size,
+        return ragged_paged_attention(q, cache, layer, batch, page_size=page_size,
                                       sm_scale=sm_scale, q_bucket=q_bucket)
-    return _ragged_paged_attention_jnp(q, cache_l, batch, page_size=page_size,
+    return _ragged_paged_attention_jnp(q, cache[layer], batch, page_size=page_size,
                                        sm_scale=sm_scale, q_bucket=q_bucket)
 
 
@@ -254,7 +257,7 @@ def forward_shard(
         kv_new = jnp.stack([k, v], axis=1)                  # [T, 2, n_kv_l, hd]
         cache = cache.at[l, batch.kv_slots].set(kv_new)     # in-place on donated buffer
 
-        attn = _attention_dispatch(q, cache[l], batch, page_size=page_size,
+        attn = _attention_dispatch(q, cache, l, batch, page_size=page_size,
                                    sm_scale=sm_scale, use_pallas=use_pallas,
                                    q_bucket=q_bucket)
         attn = attn.reshape(T, n_q_l * hd)

@@ -33,24 +33,38 @@ class BucketKey:
     q_len: int       # Q (max new tokens per row)
 
 
-def _pick_bucket(buckets: tuple[int, ...], needed: int) -> int:
+def _pick_bucket(buckets: tuple[int, ...], needed: int, hard: bool = False) -> int:
     for b in buckets:
         if b >= needed:
             return b
-    raise RuntimeError(f"needed {needed} exceeds largest bucket {buckets[-1]}")
+    if hard:
+        raise RuntimeError(f"needed {needed} exceeds largest bucket {buckets[-1]}")
+    return next_power_of_2(needed)
+
+
+def tile_q_for(q_bucket: int) -> int:
+    """Q-tile used by the Pallas attention kernel for a given Q bucket. The
+    builder aligns every sequence's flat token span to this tile so kernel
+    tiles never straddle two sequences. Minimum 16 rows (the bf16 sublane
+    tile) so dynamic row-slices of the flat q/o arrays stay tile-aligned."""
+    if q_bucket == 1:
+        return 1
+    return min(max(next_power_of_2(q_bucket), 16), 128)
 
 
 def select_buckets(groups: list[list[ScheduledSeq]], cfg: EngineConfig) -> BucketKey:
-    max_tokens = max(sum(s.n_tokens for s in g) for g in groups)
     max_rows = max(len(g) for g in groups)
     max_q = max((s.n_tokens for g in groups for s in g), default=1)
+    q_len = next_power_of_2(max_q)
+    align = tile_q_for(q_len)
+    max_tokens = max(sum(cdiv(s.n_tokens, align) * align for s in g) for g in groups)
     max_pages = max((cdiv(s.request.num_cached_tokens + s.n_tokens, cfg.block_size)
                      for g in groups for s in g), default=1)
     return BucketKey(
         tokens=_pick_bucket(cfg.token_buckets, max(max_tokens, 1)),
         rows=min(next_power_of_2(max(max_rows, 1)), next_power_of_2(cfg.max_batch_size)),
-        pages=_pick_bucket(cfg.page_buckets, max_pages),
-        q_len=next_power_of_2(max_q),
+        pages=_pick_bucket(cfg.page_buckets, max_pages, hard=True),
+        q_len=q_len,
     )
 
 
@@ -71,6 +85,7 @@ def build_step_batch(
         key = select_buckets(groups, cfg)
     T, B, Pg, Q = key.tokens, key.rows, key.pages, key.q_len
     ps = cfg.block_size
+    align = tile_q_for(Q)
 
     token_ids = np.zeros((dp, T), np.int32)
     positions = np.zeros((dp, T), np.int32)
@@ -107,7 +122,7 @@ def build_step_batch(
             page_table[g, b, :npages] = pages
             sample_mask[g, b] = s.samples_token
             rows[g * B + b] = s
-            cursor += n
+            cursor += cdiv(n, align) * align   # tile-align the span for the kernel
         assert cursor <= T, f"dp group {g}: {cursor} tokens > bucket {T}"
 
     batch = StepBatch(

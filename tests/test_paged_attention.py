@@ -1,0 +1,137 @@
+"""Pallas ragged-paged-attention kernel vs the pure-jnp reference, on CPU via
+interpret mode. Same pattern as the reference's commented-out naive impls
+(paged_attn.py:224-259), but checked in and executed."""
+
+import numpy as np
+import pytest
+
+import tests.conftest  # noqa: F401
+
+import jax
+import jax.numpy as jnp
+
+from swiftllm_tpu.models.llama import StepBatch, _ragged_paged_attention_jnp
+from swiftllm_tpu.ops.paged_attention import ragged_paged_attention
+from swiftllm_tpu.utils import cdiv, next_power_of_2
+from swiftllm_tpu.worker.batch_builder import tile_q_for
+
+
+def make_case(rng, seq_specs, *, n_q=4, n_kv=2, hd=32, page_size=8, Pg=8,
+              T=None, B=None, q_bucket=None, dtype=jnp.float32):
+    """seq_specs: list of (q_len, seq_len). Builds a random cache + flat q with
+    tile-aligned spans, mirroring batch_builder layout."""
+    n = len(seq_specs)
+    q_bucket = q_bucket or next_power_of_2(max(q for q, _ in seq_specs))
+    align = tile_q_for(q_bucket)
+    B = B or next_power_of_2(n)
+    T = T or max(next_power_of_2(sum(cdiv(q, align) * align for q, _ in seq_specs)), align)
+
+    num_pages = B * Pg
+    S = (num_pages + 1) * page_size
+    cache = rng.normal(size=(S, 2, n_kv, hd)).astype(dtype)
+    q = rng.normal(size=(T, n_q, hd)).astype(dtype)
+
+    q_starts = np.full(B, T, np.int32)
+    q_lens = np.zeros(B, np.int32)
+    seq_lens = np.zeros(B, np.int32)
+    page_table = np.zeros((B, Pg), np.int32)
+    positions = np.zeros(T, np.int32)
+
+    # non-overlapping random page assignment
+    perm = rng.permutation(num_pages)
+    cursor, page_cursor = 0, 0
+    for b, (q_len, seq_len) in enumerate(seq_specs):
+        assert q_len <= seq_len
+        npages = cdiv(seq_len, page_size)
+        page_table[b, :npages] = perm[page_cursor:page_cursor + npages]
+        page_cursor += npages
+        q_starts[b] = cursor
+        q_lens[b] = q_len
+        seq_lens[b] = seq_len
+        positions[cursor:cursor + q_len] = np.arange(seq_len - q_len, seq_len)
+        cursor += cdiv(q_len, align) * align
+    assert cursor <= T
+
+    batch = StepBatch(
+        token_ids=jnp.zeros(T, jnp.int32),
+        positions=jnp.asarray(positions),
+        kv_slots=jnp.zeros(T, jnp.int32),
+        q_starts=jnp.asarray(q_starts),
+        q_lens=jnp.asarray(q_lens),
+        seq_lens=jnp.asarray(seq_lens),
+        page_table=jnp.asarray(page_table),
+        sample_mask=jnp.zeros(B, bool),
+    )
+    return jnp.asarray(q), jnp.asarray(cache), batch, q_bucket
+
+
+def compare(q, cache, batch, q_bucket, atol=2e-5, max_chunk_pages=None):
+    ref = _ragged_paged_attention_jnp(q, cache, batch, page_size=8,
+                                      sm_scale=0.125, q_bucket=q_bucket)
+    # The kernel takes the FULL [L, S, ...] cache plus a layer index; exercise
+    # a non-zero layer to cover the slot-offset arithmetic.
+    cache3 = jnp.stack([jnp.zeros_like(cache), cache, jnp.ones_like(cache)])
+    got = ragged_paged_attention(q, cache3, jnp.int32(1), batch, page_size=8,
+                                 sm_scale=0.125, q_bucket=q_bucket,
+                                 interpret=True, max_chunk_pages=max_chunk_pages)
+    # Only compare real token rows; pad rows are unspecified by contract.
+    q_starts = np.asarray(batch.q_starts)
+    q_lens = np.asarray(batch.q_lens)
+    for b in range(len(q_lens)):
+        if q_lens[b] == 0:
+            continue
+        sl = slice(int(q_starts[b]), int(q_starts[b] + q_lens[b]))
+        np.testing.assert_allclose(np.asarray(got[sl]), np.asarray(ref[sl]),
+                                   atol=atol, rtol=1e-4,
+                                   err_msg=f"row {b} (q_len={q_lens[b]})")
+
+
+def test_decode_only():
+    rng = np.random.default_rng(0)
+    case = make_case(rng, [(1, 1), (1, 9), (1, 17), (1, 64), (1, 23)])
+    compare(*case)
+
+
+def test_single_prefill():
+    rng = np.random.default_rng(1)
+    case = make_case(rng, [(12, 12)])
+    compare(*case)
+
+
+def test_chunked_prefill_tail():
+    # query chunk is the tail of a longer cached sequence
+    rng = np.random.default_rng(2)
+    case = make_case(rng, [(8, 40), (4, 61)])
+    compare(*case)
+
+
+def test_mixed_batch():
+    rng = np.random.default_rng(3)
+    case = make_case(rng, [(1, 33), (16, 16), (1, 7), (5, 29), (1, 64), (1, 1)])
+    compare(*case)
+
+
+def test_multi_chunk_long_context():
+    # force several KV chunks (Pg*page_size well beyond one chunk)
+    rng = np.random.default_rng(4)
+    case = make_case(rng, [(1, 512), (1, 300)], Pg=64, page_size=8)
+    compare(*case, max_chunk_pages=8)   # force 8 chunks of 64 tokens
+
+
+def test_gqa_groups():
+    rng = np.random.default_rng(5)
+    case = make_case(rng, [(7, 31), (1, 50)], n_q=8, n_kv=2)
+    compare(*case)
+
+
+def test_mha_no_gqa():
+    rng = np.random.default_rng(6)
+    case = make_case(rng, [(3, 11), (1, 26)], n_q=4, n_kv=4)
+    compare(*case)
+
+
+def test_large_tile_partial():
+    # q_len not a multiple of the tile; tile partially filled
+    rng = np.random.default_rng(7)
+    case = make_case(rng, [(130, 130), (1, 40)], Pg=32, q_bucket=256)
+    compare(*case)
