@@ -1,0 +1,140 @@
+"""HTTP serving front-end.
+
+Capability parity with the reference's FastAPI server
+(``swiftllm/server/api_server.py:16-121``): ``POST /generate`` with
+``{prompt, output_len, stream?, decode?}``; streaming responses decode
+incrementally and emit only the new text suffix, since tokenizers can merge
+trailing tokens (reference api_server.py:44-65). Additions over the reference:
+client-disconnect aborts the request (its api_server.py:75 TODO), ``GET
+/stats`` and ``GET /health``.
+
+Built on aiohttp (fastapi is not available in this environment; the route
+surface and payloads are identical to the reference's).
+
+Run:  python -m swiftllm_tpu.server.api_server --model-path /path/to/llama ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import json
+import os
+import sys
+import traceback
+
+try:
+    from aiohttp import web
+except ImportError as e:   # pragma: no cover
+    raise ImportError("the API server requires aiohttp") from e
+
+from swiftllm_tpu.config import EngineConfig, LlamaModelConfig
+from swiftllm_tpu.server.engine import Engine
+from swiftllm_tpu.server.structs import RawRequest
+
+
+async def health(request: web.Request) -> web.Response:
+    return web.Response(status=200)
+
+
+async def stats(request: web.Request) -> web.Response:
+    engine: Engine = request.app["engine"]
+    return web.json_response(engine.stats.snapshot())
+
+
+async def generate(request: web.Request) -> web.StreamResponse:
+    engine: Engine = request.app["engine"]
+    payload = await request.json()
+    raw = RawRequest(
+        prompt=payload.get("prompt", ""),
+        output_len=int(payload.get("output_len",
+                                   engine.engine_config.max_output_len)),
+        temperature=float(payload.get("temperature", 0.0)),
+        top_p=float(payload.get("top_p", 1.0)),
+        top_k=int(payload.get("top_k", 0)),
+        seed=payload.get("seed"),
+        prompt_token_ids=payload.get("prompt_token_ids"),
+    )
+    do_decode = bool(payload.get("decode", True))
+
+    if payload.get("stream", False):
+        response = web.StreamResponse(
+            headers={"Content-Type": "application/x-ndjson"})
+        await response.prepare(request)
+        token_ids: list[int] = []
+        prev_text_len = 0
+        req = None
+        try:
+            async for step_output in engine.add_request_and_stream(raw):
+                req = step_output.request
+                token_ids.append(step_output.token_id)
+                event = {"token_id": step_output.token_id}
+                if do_decode:
+                    # Decode the whole sequence and emit only the new suffix:
+                    # tokenizers can merge the last two tokens, so a per-token
+                    # decode would be wrong at merge points (reference
+                    # api_server.py:44-65).
+                    text = await engine.tokenizer.decode(token_ids)
+                    event["text"] = text[prev_text_len:]
+                    prev_text_len = len(text)
+                await response.write((json.dumps(event) + "\n").encode())
+        finally:
+            # Client disconnect (write raises) or generator exit: free the seq.
+            if req is not None and not req.is_finished():
+                engine.abort_request(req)
+        await response.write_eof()
+        return response
+
+    req, output_token_ids = await engine.add_request_and_wait(raw)
+    result = {"output_token_ids": output_token_ids}
+    if do_decode:
+        result["output"] = await engine.tokenizer.decode(output_token_ids)
+    return web.json_response(result)
+
+
+def build_app(engine: Engine) -> web.Application:
+    app = web.Application()
+    app["engine"] = engine
+    app.router.add_get("/health", health)
+    app.router.add_get("/stats", stats)
+    app.router.add_post("/generate", generate)
+    return app
+
+
+async def main_coroutine(args: argparse.Namespace,
+                         engine_config: EngineConfig | None = None,
+                         model_config: LlamaModelConfig | None = None):
+    engine_config = engine_config or EngineConfig.from_cli_args(args)
+    engine = Engine(engine_config, model_config)
+    await engine.initialize()
+    app = build_app(engine)
+
+    runner = web.AppRunner(app)
+    await runner.setup()
+    site = web.TCPSite(runner, args.host, args.port)
+    await site.start()
+    print(f"swiftllm-tpu API server listening on http://{args.host}:{args.port}")
+
+    try:
+        await engine.start_all_event_loops()
+    except Exception:
+        traceback.print_exc()
+        os._exit(1)   # crash-and-die, as the reference (api_server.py:114-119)
+    finally:
+        await runner.cleanup()
+
+
+def main():
+    parser = argparse.ArgumentParser(description="swiftllm-tpu API server")
+    parser.add_argument("--host", type=str, default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=8000)
+    EngineConfig.add_cli_args(parser)
+    args = parser.parse_args()
+    try:
+        asyncio.run(main_coroutine(args))
+    except KeyboardInterrupt:
+        sys.exit(0)
+
+
+if __name__ == "__main__":
+    main()

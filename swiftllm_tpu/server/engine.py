@@ -1,0 +1,233 @@
+"""Engine — the async orchestrator of the control plane.
+
+Capability parity with the reference's ``swiftllm/server/engine.py:16-181``:
+``initialize()``, ``add_request_and_stream()``, ``add_request_and_wait()``,
+``start_all_event_loops()``, a tokenization loop and a main step loop. TPU-first
+deltas:
+
+- The step batch is a SARATHI mixed prefill+decode token batch (the scheduler
+  enables the piggybacking the reference left as a comment, scheduler.py:92-99).
+- ``model.forward`` is one jitted SPMD program; it runs in a thread-pool
+  executor so device steps never block the event loop (reference
+  engine.py:30-35 does the same for CUDA).
+- Tokenization runs in a worker process via ProcessPoolExecutor instead of a
+  Ray actor (reference engine.py:60,104).
+- EOS stop and request abort are supported (the reference has neither:
+  structs.py:57, api_server.py:75 TODO).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+from swiftllm_tpu.config import EngineConfig, LlamaModelConfig
+from swiftllm_tpu.server.scheduler import ScheduledSeq, Scheduler
+from swiftllm_tpu.server.structs import RawRequest, Request, StepOutput
+from swiftllm_tpu.server.tokenization import TokenizationEngine
+
+
+class EngineStats:
+    """Step-level serving metrics (the reference has only prints, SURVEY.md §5.5)."""
+
+    def __init__(self):
+        self.num_steps = 0
+        self.num_tokens_generated = 0
+        self.num_prompt_tokens = 0
+        self.num_requests_finished = 0
+        self.num_preemptions = 0
+        self.total_step_time = 0.0
+
+    def snapshot(self) -> dict:
+        return {
+            "num_steps": self.num_steps,
+            "num_tokens_generated": self.num_tokens_generated,
+            "num_prompt_tokens": self.num_prompt_tokens,
+            "num_requests_finished": self.num_requests_finished,
+            "num_preemptions": self.num_preemptions,
+            "avg_step_ms": (1e3 * self.total_step_time / self.num_steps
+                            if self.num_steps else 0.0),
+        }
+
+
+class Engine:
+    def __init__(self, engine_config: EngineConfig,
+                 model_config: LlamaModelConfig | None = None):
+        self.engine_config = engine_config
+        self.model_config = model_config or LlamaModelConfig.load_from_model_path(
+            engine_config.model_path)
+        self.initialized = False
+
+        self.model = None
+        self.scheduler: Scheduler | None = None
+        self.tokenizer: TokenizationEngine | None = None
+        self.eos_ids: set[int] = (self.model_config.eos_token_ids()
+                                  if engine_config.eos_stop else set())
+
+        self.untokenized_raw_requests: list[tuple[Request, str]] = []
+        self._work_event = asyncio.Event()
+        self._model_executor = ThreadPoolExecutor(max_workers=1,
+                                                  thread_name_prefix="model-step")
+        self.stats = EngineStats()
+        self._crashed: BaseException | None = None
+
+    async def initialize(self, tokenizer_backend: str = "process"):
+        """Build model, load weights, size + allocate the KV cache, create the
+        scheduler and tokenizer (reference engine.py:37-63)."""
+        cfg = self.engine_config
+        assert cfg.dp_size == 1, "the serving engine currently drives a tp-only mesh"
+        from swiftllm_tpu.worker.model import LlamaModel
+
+        self.model = LlamaModel(cfg, self.model_config)
+        self.model.load_weights()
+        self.model.init_kvcache_and_swap()
+        self.scheduler = Scheduler(self.model_config, cfg, self.model.num_hbm_blocks)
+        self.tokenizer = TokenizationEngine(
+            cfg.model_path, backend=tokenizer_backend, use_dummy=cfg.use_dummy,
+            vocab_size=self.model_config.vocab_size)
+        self.initialized = True
+
+    # --- request entry points (reference engine.py:65-87) ----------------------
+    def _submit(self, raw_request: RawRequest) -> Request:
+        req = Request(raw_request)
+        if raw_request.prompt_token_ids is not None:
+            req.set_prompt_token_ids(list(raw_request.prompt_token_ids))
+            self.scheduler.on_requests_arrival([req])
+        else:
+            self.untokenized_raw_requests.append((req, raw_request.prompt))
+        self._work_event.set()
+        return req
+
+    async def add_request_and_stream(self, raw_request: RawRequest):
+        """Submit and yield one StepOutput per generated token."""
+        req = self._submit(raw_request)
+        while True:
+            step_output = await req.output_q.get()
+            yield step_output
+            if step_output.request.is_finished():
+                break
+
+    async def add_request_and_wait(self, raw_request: RawRequest) -> tuple[Request, list[int]]:
+        """Submit and wait for completion; returns (request, output_token_ids)."""
+        req = self._submit(raw_request)
+        await req.finished_event.wait()
+        return req, req.output_token_ids
+
+    def abort_request(self, req: Request):
+        """Abort a queued or running request (reference TODO api_server.py:75)."""
+        req.aborted = True
+        self._work_event.set()
+
+    # --- event loops (reference engine.py:89-171) -------------------------------
+    async def _tokenize_event_loop(self):
+        while True:
+            if not self.untokenized_raw_requests:
+                await self._wait_for_work()
+                continue
+            batch = self.untokenized_raw_requests
+            self.untokenized_raw_requests = []
+            prompts = [p for _, p in batch]
+            token_ids = await self.tokenizer.batched_tokenize(prompts)
+            arrived = []
+            for (req, _), ids in zip(batch, token_ids):
+                req.set_prompt_token_ids(ids)
+                if not req.aborted:
+                    arrived.append(req)
+            self.scheduler.on_requests_arrival(arrived)
+            self._work_event.set()
+
+    async def _wait_for_work(self):
+        self._work_event.clear()
+        await self._work_event.wait()
+
+    def _reap_aborted(self):
+        sch = self.scheduler
+        aborted = [r for r in sch.running_q if r.aborted]
+        aborted += [r for r in sch.swapped_q if r.aborted]
+        for r in aborted:
+            self.model.free_seqs_resources([r])
+            if self.model.cpu_block_mgr is not None:
+                self.model.cpu_block_mgr.free_seq(r.seq_id)
+            sch.request_id_manager.free_id(r.seq_id)
+            r.finished_event.set()
+        if aborted:
+            sch.running_q = [r for r in sch.running_q if not r.aborted]
+            sch.swapped_q = type(sch.swapped_q)(
+                r for r in sch.swapped_q if not r.aborted)
+        still_waiting = []
+        for r in sch.waiting_q:
+            if r.aborted:
+                r.finished_event.set()
+            else:
+                still_waiting.append(r)
+        sch.waiting_q = type(sch.waiting_q)(still_waiting)
+
+    async def _run_on_model_async(self, fn, *args):
+        loop = asyncio.get_running_loop()
+        return await loop.run_in_executor(self._model_executor, fn, *args)
+
+    async def _step(self) -> bool:
+        """One engine iteration. Returns False when there is nothing to do."""
+        self._reap_aborted()
+        decision = self.scheduler.get_next_batch()
+
+        if decision.swap_out:
+            await self._run_on_model_async(self.model.swap_out_seqs, decision.swap_out)
+            self.scheduler.on_swap_out_done(decision.swap_out)
+            self.stats.num_preemptions += len(decision.swap_out)
+        if decision.swap_in:
+            await self._run_on_model_async(self.model.swap_in_seqs, decision.swap_in)
+            self.scheduler.on_swap_in_done(decision.swap_in)
+
+        if not decision.batch:
+            return bool(decision.swap_in or decision.swap_out)
+
+        t0 = time.perf_counter()
+        tokens, rows = await self._run_on_model_async(self.model.forward, decision.batch)
+        self.stats.total_step_time += time.perf_counter() - t0
+        self.stats.num_steps += 1
+
+        finished: list[Request] = []
+        for i, s in enumerate(rows):
+            if s is None:
+                continue
+            r = s.request
+            was_prefill = r.is_prefill_stage()
+            samples = s.samples_token   # evaluate BEFORE mutating num_cached_tokens
+            r.num_cached_tokens += s.n_tokens
+            if was_prefill:
+                self.stats.num_prompt_tokens += s.n_tokens
+            if samples:
+                token_id = int(tokens[i])
+                r.output_token_ids.append(token_id)
+                self.stats.num_tokens_generated += 1
+                if token_id in self.eos_ids and len(r.output_token_ids) < r.output_len:
+                    r.stopped_on_eos = True
+                r.output_q.put_nowait(StepOutput(token_id, r))
+            if r.is_finished():   # output_len reached, EOS, or aborted mid-step
+                r.finished_event.set()
+                finished.append(r)
+        if finished:
+            self.model.free_seqs_resources(finished)
+            self.stats.num_requests_finished += len(finished)
+        self.scheduler.on_batch_finish(decision.batch)
+        return True
+
+    async def _main_event_loop(self):
+        while True:
+            progressed = await self._step()
+            if not progressed and not self.scheduler.has_pending():
+                await self._wait_for_work()
+            else:
+                # Yield to the event loop so request/abort coroutines run.
+                await asyncio.sleep(0)
+
+    async def start_all_event_loops(self):
+        """Run both loops forever (reference engine.py:173-181)."""
+        assert self.initialized, "call await engine.initialize() first"
+        try:
+            await asyncio.gather(self._tokenize_event_loop(), self._main_event_loop())
+        except BaseException as e:
+            self._crashed = e
+            raise

@@ -1,0 +1,107 @@
+"""Tokenization engine — HF tokenizer kept OFF the engine's event loop.
+
+Capability parity with the reference's Ray-actor ``TokenizationEngine``
+(swiftllm/server/tokenization_engine.py:6-16; the reference's only use of Ray,
+SURVEY.md §2.5). Rebuilt without the Ray dependency: a ``ProcessPoolExecutor``
+worker process owns the ``AutoTokenizer`` (loaded once via the pool
+initializer), and the engine awaits ``run_in_executor`` futures. A "thread"
+backend (HF fast tokenizers are Rust-backed and release the GIL) and an
+"inline" backend (tests) are also provided.
+
+``use_dummy`` mode works without tokenizer files via a hash-based dummy
+tokenizer, mirroring the reference's dummy-weight hermetic-test hook
+(engine_config.py:36-40).
+"""
+
+from __future__ import annotations
+
+import asyncio
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
+
+_WORKER_TOKENIZER = None
+
+
+def _load_tokenizer(model_path: str):
+    from transformers import AutoTokenizer
+    return AutoTokenizer.from_pretrained(model_path)
+
+
+def _init_worker(model_path: str):
+    global _WORKER_TOKENIZER
+    _WORKER_TOKENIZER = _load_tokenizer(model_path)
+
+
+def _worker_batched_tokenize(prompts: list[str]) -> list[list[int]]:
+    return _WORKER_TOKENIZER(prompts)["input_ids"]
+
+
+def _worker_decode(token_ids: list[int], skip_special_tokens: bool) -> str:
+    return _WORKER_TOKENIZER.decode(token_ids, skip_special_tokens=skip_special_tokens)
+
+
+class DummyTokenizer:
+    """Deterministic stand-in when no tokenizer files exist (dummy-weight mode)."""
+
+    def __init__(self, vocab_size: int = 32000):
+        self.vocab_size = vocab_size
+
+    def __call__(self, prompts: list[str]) -> dict:
+        return {"input_ids": [
+            [(hash(w) % (self.vocab_size - 1)) + 1 for w in p.split()] or [1]
+            for p in prompts]}
+
+    def decode(self, token_ids: list[int], skip_special_tokens: bool = True) -> str:
+        return " ".join(f"<{t}>" for t in token_ids)
+
+
+class TokenizationEngine:
+    """Async tokenize/decode service.
+
+    backend: "process" (default — tokenizer lives in a separate OS process,
+    like the reference's Ray actor), "thread", or "inline" (synchronous,
+    for tests and dummy mode).
+    """
+
+    def __init__(self, model_path: str, backend: str = "process",
+                 use_dummy: bool = False, vocab_size: int = 32000):
+        self.backend = backend
+        self._pool = None
+        self._tokenizer = None
+        if use_dummy:
+            self.backend = "inline"
+            self._tokenizer = DummyTokenizer(vocab_size)
+        elif backend == "process":
+            self._pool = ProcessPoolExecutor(
+                max_workers=1, initializer=_init_worker, initargs=(model_path,))
+        elif backend == "thread":
+            self._pool = ThreadPoolExecutor(max_workers=1)
+            self._tokenizer = _load_tokenizer(model_path)
+        elif backend == "inline":
+            self._tokenizer = _load_tokenizer(model_path)
+        else:
+            raise ValueError(f"unknown tokenization backend {backend!r}")
+
+    async def batched_tokenize(self, prompts: list[str]) -> list[list[int]]:
+        if self.backend == "inline":
+            return self._tokenizer(prompts)["input_ids"]
+        loop = asyncio.get_running_loop()
+        if self.backend == "process":
+            return await loop.run_in_executor(self._pool, _worker_batched_tokenize, prompts)
+        return await loop.run_in_executor(
+            self._pool, lambda: self._tokenizer(prompts)["input_ids"])
+
+    async def decode(self, token_ids: list[int], skip_special_tokens: bool = True) -> str:
+        if self.backend == "inline":
+            return self._tokenizer.decode(token_ids, skip_special_tokens=skip_special_tokens)
+        loop = asyncio.get_running_loop()
+        if self.backend == "process":
+            return await loop.run_in_executor(
+                self._pool, _worker_decode, token_ids, skip_special_tokens)
+        return await loop.run_in_executor(
+            self._pool,
+            lambda: self._tokenizer.decode(token_ids, skip_special_tokens=skip_special_tokens))
+
+    def shutdown(self):
+        if self._pool is not None:
+            self._pool.shutdown(wait=False, cancel_futures=True)
+            self._pool = None

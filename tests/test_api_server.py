@@ -1,0 +1,77 @@
+"""API-server integration tests: real HTTP over a local socket, dummy weights.
+
+Mirrors the reference's POST /generate surface (api_server.py:16-84): streaming
+and non-streaming, plus the /stats and /health additions.
+"""
+
+import asyncio
+import json
+
+import pytest
+
+aiohttp = pytest.importorskip("aiohttp")
+from aiohttp.test_utils import TestClient, TestServer  # noqa: E402
+
+from swiftllm_tpu.server.api_server import build_app  # noqa: E402
+from swiftllm_tpu.server.engine import Engine  # noqa: E402
+from tests.test_engine import tiny_engine_config, tiny_model_config  # noqa: E402
+
+
+async def _with_server(body):
+    engine = Engine(tiny_engine_config(), tiny_model_config())
+    await engine.initialize(tokenizer_backend="inline")
+    loops = asyncio.create_task(engine.start_all_event_loops())
+    client = TestClient(TestServer(build_app(engine)))
+    await client.start_server()
+    try:
+        await body(client)
+    finally:
+        await client.close()
+        loops.cancel()
+
+
+def test_generate_non_streaming():
+    async def body(client):
+        resp = await client.post("/generate", json={
+            "prompt": "a b c", "output_len": 6, "decode": True})
+        assert resp.status == 200
+        data = await resp.json()
+        assert len(data["output_token_ids"]) == 6
+        assert isinstance(data["output"], str)
+
+        health = await client.get("/health")
+        assert health.status == 200
+        stats = await (await client.get("/stats")).json()
+        assert stats["num_requests_finished"] == 1
+    asyncio.run(_with_server(body))
+
+
+def test_generate_streaming():
+    async def body(client):
+        resp = await client.post("/generate", json={
+            "prompt_token_ids": list(range(8)), "output_len": 5,
+            "stream": True, "decode": False})
+        assert resp.status == 200
+        events = []
+        async for line in resp.content:
+            if line.strip():
+                events.append(json.loads(line))
+        assert len(events) == 5
+        assert all("token_id" in e for e in events)
+    asyncio.run(_with_server(body))
+
+
+def test_streaming_matches_non_streaming():
+    async def body(client):
+        ids = list(range(20, 35))
+        r1 = await (await client.post("/generate", json={
+            "prompt_token_ids": ids, "output_len": 6, "decode": False})).json()
+        resp = await client.post("/generate", json={
+            "prompt_token_ids": ids, "output_len": 6,
+            "stream": True, "decode": False})
+        streamed = []
+        async for line in resp.content:
+            if line.strip():
+                streamed.append(json.loads(line)["token_id"])
+        assert streamed == r1["output_token_ids"]
+    asyncio.run(_with_server(body))
