@@ -58,6 +58,12 @@ class StepBatch:
     seq_lens: jax.Array     # i32[B]   total KV length of each row AFTER this step (pad 0)
     page_table: jax.Array   # i32[B,P] page ids per row (pad 0, masked via seq_lens)
     sample_mask: jax.Array  # bool[B]  row produces a sampled token this step
+    # Sampling params (defaults = greedy; scalars only valid where the sampler
+    # is not reached — the batch builder always provides full [B] arrays).
+    temperature: jax.Array = 0.0  # f32[B]   <= 0 → greedy
+    top_p: jax.Array = 1.0        # f32[B]   nucleus threshold (1.0 → off)
+    top_k: jax.Array = 0          # i32[B]   top-k cutoff (0 → off)
+    seeds: jax.Array = 0          # u32[B]   per-row PRNG seed for this step
 
 
 # ---------------------------------------------------------------------------------
@@ -245,12 +251,13 @@ def forward_shard(
     def layer_step(carry, scanned):
         x, cache = carry
         l, w = scanned
+        from swiftllm_tpu.worker.quant import out_features, proj
         h = rms_norm(x, w["attn_norm"], eps)
-        n_q_l = w["wq"].shape[-1] // hd
-        n_kv_l = w["wk"].shape[-1] // hd
-        q = (h @ w["wq"]).reshape(T, n_q_l, hd)
-        k = (h @ w["wk"]).reshape(T, n_kv_l, hd)
-        v = (h @ w["wv"]).reshape(T, n_kv_l, hd)
+        n_q_l = out_features(w["wq"]) // hd
+        n_kv_l = out_features(w["wk"]) // hd
+        q = proj(h, w["wq"]).reshape(T, n_q_l, hd)
+        k = proj(h, w["wk"]).reshape(T, n_kv_l, hd)
+        v = proj(h, w["wv"]).reshape(T, n_kv_l, hd)
         q = apply_rope(q, batch.positions, inv_freq)
         k = apply_rope(k, batch.positions, inv_freq)
 
@@ -261,11 +268,11 @@ def forward_shard(
                                    sm_scale=sm_scale, use_pallas=use_pallas,
                                    q_bucket=q_bucket)
         attn = attn.reshape(T, n_q_l * hd)
-        x = x + psum_tp(attn @ w["wo"])
+        x = x + psum_tp(proj(attn, w["wo"]))
 
         h = rms_norm(x, w["ffn_norm"], eps)
-        gate = jax.nn.silu((h @ w["w_gate"]).astype(jnp.float32)).astype(x.dtype)
-        ffn = (gate * (h @ w["w_up"])) @ w["w_down"]
+        gate = jax.nn.silu(proj(h, w["w_gate"]).astype(jnp.float32)).astype(x.dtype)
+        ffn = proj(gate * proj(h, w["w_up"]), w["w_down"])
         x = x + psum_tp(ffn)
         return (x, cache), None
 
@@ -287,16 +294,11 @@ def forward_shard(
     vocab_ids = tp_rank * v_local + jnp.arange(v_local, dtype=jnp.int32)
     logits = jnp.where(vocab_ids[None, :] < cfg.vocab_size, logits, -jnp.inf)
 
-    local_max = jnp.max(logits, axis=-1)                                    # [B]
-    local_arg = jnp.argmax(logits, axis=-1).astype(jnp.int32)               # [B]
-    if tp_size > 1:
-        maxes = jax.lax.all_gather(local_max, AXIS_TP)                      # [tp, B]
-        args = jax.lax.all_gather(local_arg, AXIS_TP)                       # [tp, B]
-        win = jnp.argmax(maxes, axis=0)                                     # [B]
-        tokens = (jnp.take_along_axis(args, win[None, :], axis=0)[0]
-                  + win.astype(jnp.int32) * v_local)
-    else:
-        tokens = local_arg
+    from swiftllm_tpu.models.sampling import sample_tokens
+    tokens = sample_tokens(
+        logits, temperature=batch.temperature, top_p=batch.top_p,
+        top_k=batch.top_k, seeds=batch.seeds, v_local=v_local,
+        tp_axis=AXIS_TP, tp_size=tp_size, tp_rank=tp_rank)
 
     if return_logits:
         full = (jax.lax.all_gather(logits, AXIS_TP, axis=1, tiled=True)
@@ -307,10 +309,11 @@ def forward_shard(
 
 
 def make_step_fn(mesh, cfg: LlamaModelConfig, *, page_size: int, q_bucket: int,
-                 use_pallas: bool, return_logits: bool = False):
+                 use_pallas: bool, return_logits: bool = False, quant: str = "none"):
     """Build the jitted SPMD step for a given mesh. KV cache is donated."""
-    from swiftllm_tpu.parallel.mesh import BATCH_SPECS, KV_CACHE_SPEC, PARAM_SPECS
+    from swiftllm_tpu.parallel.mesh import BATCH_SPECS, KV_CACHE_SPEC, param_specs
 
+    PARAM_SPECS = param_specs(quant)
     batch_specs = StepBatch(**BATCH_SPECS)
     out_specs = (P(AXIS_DP), KV_CACHE_SPEC) + ((P(AXIS_DP, None),) if return_logits else ())
 

@@ -59,6 +59,20 @@ PARAM_SPECS = {
 # head axis shards cleanly.
 KV_CACHE_SPEC = P(None, AXIS_DP, None, AXIS_TP, None)
 
+GEMM_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+
+
+def param_specs(quant: str = "none") -> dict:
+    """PARAM_SPECS adjusted for the weight-quantization storage format."""
+    if quant == "none":
+        return PARAM_SPECS
+    from swiftllm_tpu.worker.quant import spec_for_quantized
+    specs = dict(PARAM_SPECS)
+    specs["layers"] = {
+        k: (spec_for_quantized(v, quant) if k in GEMM_KEYS else v)
+        for k, v in PARAM_SPECS["layers"].items()}
+    return specs
+
 # Batch descriptor: token-axis and seq-row-axis arrays shard over dp.
 BATCH_SPECS = {
     "token_ids": P(AXIS_DP),
@@ -69,6 +83,10 @@ BATCH_SPECS = {
     "seq_lens": P(AXIS_DP),
     "page_table": P(AXIS_DP, None),
     "sample_mask": P(AXIS_DP),
+    "temperature": P(AXIS_DP),
+    "top_p": P(AXIS_DP),
+    "top_k": P(AXIS_DP),
+    "seeds": P(AXIS_DP),
 }
 
 OUT_TOKEN_SPEC = P(AXIS_DP)     # sampled token per batch row

@@ -23,12 +23,16 @@ class RawRequest:
     """A request as issued by the user (reference structs.py:14-23)."""
 
     def __init__(self, prompt: str, output_len: int,
-                 temperature: float = 0.0, top_p: float = 1.0, top_k: int = 0):
+                 temperature: float = 0.0, top_p: float = 1.0, top_k: int = 0,
+                 seed: int | None = None,
+                 prompt_token_ids: list[int] | None = None):
         self.prompt = prompt
         self.output_len = output_len
         self.temperature = temperature
         self.top_p = top_p
         self.top_k = top_k
+        self.seed = seed
+        self.prompt_token_ids = prompt_token_ids   # skip tokenization when provided
 
 
 _req_counter = itertools.count()
@@ -51,11 +55,14 @@ class Request:
         self.temperature = raw_request.temperature
         self.top_p = raw_request.top_p
         self.top_k = raw_request.top_k
+        self.sampling_seed = (raw_request.seed if raw_request.seed is not None
+                              else next(_req_counter) + 0x9E3779B9)
         self.output_token_ids: list[int] = []
         self.num_cached_tokens = 0     # tokens whose KV already lives in the cache
         self.seq_id = -1               # row in the block table, assigned on admission
         self.req_index = next(_req_counter)   # global arrival order (FCFS key)
         self.stopped_on_eos = False
+        self.aborted = False
         self.output_q: asyncio.Queue[StepOutput] = asyncio.Queue()
         self.finished_event = asyncio.Event()
 
@@ -81,7 +88,8 @@ class Request:
 
     # --- state predicates (reference structs.py:56-63) ---------------------
     def is_finished(self) -> bool:
-        return self.stopped_on_eos or len(self.output_token_ids) == self.output_len
+        return (self.aborted or self.stopped_on_eos
+                or len(self.output_token_ids) == self.output_len)
 
     def get_cur_output_len(self) -> int:
         return len(self.output_token_ids)

@@ -95,6 +95,10 @@ def build_step_batch(
     seq_lens = np.zeros((dp, B), np.int32)
     page_table = np.zeros((dp, B, Pg), np.int32)
     sample_mask = np.zeros((dp, B), bool)
+    temperature = np.zeros((dp, B), np.float32)
+    top_p = np.ones((dp, B), np.float32)
+    top_k = np.zeros((dp, B), np.int32)
+    seeds = np.zeros((dp, B), np.uint32)
 
     rows: list[ScheduledSeq] = [None] * (dp * B)  # type: ignore
 
@@ -121,6 +125,12 @@ def build_step_batch(
             seq_lens[g, b] = end
             page_table[g, b, :npages] = pages
             sample_mask[g, b] = s.samples_token
+            temperature[g, b] = r.temperature
+            top_p[g, b] = r.top_p
+            top_k[g, b] = r.top_k
+            # Per-(request, position) seed → deterministic replay, decorrelated rows.
+            seeds[g, b] = np.uint32((np.uint64(r.sampling_seed) * np.uint64(2654435761)
+                                     + np.uint64(end)) & np.uint64(0xFFFFFFFF))
             rows[g * B + b] = s
             cursor += cdiv(n, align) * align   # tile-align the span for the kernel
         assert cursor <= T, f"dp group {g}: {cursor} tokens > bucket {T}"
@@ -134,6 +144,10 @@ def build_step_batch(
         seq_lens=seq_lens.reshape(dp * B),
         page_table=page_table.reshape(dp * B, Pg),
         sample_mask=sample_mask.reshape(dp * B),
+        temperature=temperature.reshape(dp * B),
+        top_p=top_p.reshape(dp * B),
+        top_k=top_k.reshape(dp * B),
+        seeds=seeds.reshape(dp * B),
     )
     return batch, key, rows
 

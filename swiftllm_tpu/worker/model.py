@@ -141,7 +141,7 @@ class LlamaModel:
             self._step_fns[k] = make_step_fn(
                 self.mesh, self.model_config, page_size=self.engine_config.block_size,
                 q_bucket=key.q_len, use_pallas=self.engine_config.use_pallas,
-                return_logits=return_logits)
+                return_logits=return_logits, quant=self.engine_config.quant)
         return self._step_fns[k]
 
     def _lower(self, key: BucketKey, num_blocks: int):
@@ -164,6 +164,14 @@ class LlamaModel:
                                             sharding=sh.page_table),
             sample_mask=jax.ShapeDtypeStruct((dp * key.rows,), jnp.bool_,
                                              sharding=sh.sample_mask),
+            temperature=jax.ShapeDtypeStruct((dp * key.rows,), jnp.float32,
+                                             sharding=sh.temperature),
+            top_p=jax.ShapeDtypeStruct((dp * key.rows,), jnp.float32,
+                                       sharding=sh.top_p),
+            top_k=jax.ShapeDtypeStruct((dp * key.rows,), jnp.int32,
+                                       sharding=sh.top_k),
+            seeds=jax.ShapeDtypeStruct((dp * key.rows,), jnp.uint32,
+                                       sharding=sh.seeds),
         )
         params_sds = jax.tree.map(
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding),

@@ -21,7 +21,7 @@ import numpy as np
 
 from swiftllm_tpu.config import EngineConfig, LlamaModelConfig
 from swiftllm_tpu.models.llama import compute_inv_freq
-from swiftllm_tpu.parallel.mesh import PARAM_SPECS, named
+from swiftllm_tpu.parallel.mesh import GEMM_KEYS, param_specs, named
 from swiftllm_tpu.utils import cdiv
 
 
@@ -186,6 +186,13 @@ def load_params(engine_config: EngineConfig, model_config: LlamaModelConfig,
     else:
         lm_head = pad_vocab(get("lm_head.weight", (V, D)).astype(np_dtype))
 
+    # Weight-only quantization at load time (none | int8 | int4).
+    quant = engine_config.quant
+    if quant != "none":
+        from swiftllm_tpu.worker.quant import quantize_weight
+        for key in GEMM_KEYS:
+            layers[key] = quantize_weight(layers[key], quant)
+
     host_params = {
         "embed": embed,
         "lm_head": lm_head,
@@ -194,5 +201,5 @@ def load_params(engine_config: EngineConfig, model_config: LlamaModelConfig,
         "layers": layers,
     }
 
-    shardings = named(mesh, PARAM_SPECS)
+    shardings = named(mesh, param_specs(quant))
     return jax.tree.map(lambda arr, s: jax.device_put(arr, s), host_params, shardings)

@@ -1,0 +1,72 @@
+"""Weight-only quantization tests: pack/unpack roundtrips and end-to-end
+closeness of the quantized model's logits to the unquantized model's."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from swiftllm_tpu.config import EngineConfig, LlamaModelConfig
+from swiftllm_tpu.server.scheduler import ScheduledSeq
+from swiftllm_tpu.server.structs import RawRequest, Request
+from swiftllm_tpu.worker.quant import (_unpack_int4, proj, quantize_int4,
+                                       quantize_int8)
+
+
+def test_int8_roundtrip():
+    rng = np.random.default_rng(0)
+    w = rng.normal(size=(3, 32, 16)).astype(np.float32)
+    qd = quantize_int8(w)
+    deq = qd["q"].astype(np.float32) * qd["s"][:, None, :]
+    err = np.abs(deq - w)
+    assert np.all(err <= qd["s"][:, None, :] * 0.5 + 1e-6)
+
+
+def test_int4_pack_unpack():
+    rng = np.random.default_rng(1)
+    w = rng.normal(size=(4, 16, 8)).astype(np.float32)
+    qd = quantize_int4(w)
+    unpacked = np.asarray(_unpack_int4(jnp.asarray(qd["q4"])))
+    # rebuild the expected int4 values directly
+    s = qd["s"]
+    expect = np.clip(np.rint(w / s[:, None, :]), -7, 7).astype(np.int8)
+    np.testing.assert_array_equal(unpacked, expect)
+
+
+def test_proj_matches_dequantized_matmul():
+    rng = np.random.default_rng(2)
+    w = rng.normal(size=(64, 32)).astype(np.float32)
+    x = rng.normal(size=(5, 64)).astype(np.float32)
+    qd = quantize_int8(w)
+    deq = qd["q"].astype(np.float32) * qd["s"][None, :]
+    got = np.asarray(proj(jnp.asarray(x), {k: jnp.asarray(v) for k, v in qd.items()}))
+    np.testing.assert_allclose(got, x @ deq, rtol=1e-5, atol=1e-5)
+
+
+def _forward_logits(quant: str):
+    from swiftllm_tpu.worker.model import LlamaModel
+    mc = LlamaModelConfig(num_layers=2, num_q_heads=4, num_kv_heads=2,
+                          hidden_size=64, head_dim=16, ffn_inter_dim=128,
+                          vocab_size=128, max_position_embeddings=2048,
+                          rms_norm_eps=1e-5)
+    ec = EngineConfig(model_path="", use_dummy=True, dtype="float32", quant=quant,
+                      block_size=16, num_hbm_blocks=32, num_cpu_blocks=0,
+                      max_blocks_per_seq=8, max_tokens_in_batch=64,
+                      prefill_chunk_size=32, max_seqs_in_block_table=16,
+                      use_pallas=False)
+    model = LlamaModel(ec, mc)
+    model.load_weights()
+    model.init_kvcache_and_swap()
+    r = Request(RawRequest("", 1))
+    r.set_prompt_token_ids([(i * 13) % 128 for i in range(20)])
+    r.seq_id = 0
+    _, rows, logits = model.forward([ScheduledSeq(r, 20)], return_logits=True)
+    return logits[0]
+
+
+@pytest.mark.parametrize("quant,min_cos", [("int8", 0.999), ("int4", 0.97)])
+def test_quantized_model_logits_close(quant, min_cos):
+    base = _forward_logits("none")
+    q = _forward_logits(quant)
+    cos = float(np.dot(base, q) / (np.linalg.norm(base) * np.linalg.norm(q)))
+    assert cos > min_cos, f"{quant}: cosine {cos}"
