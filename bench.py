@@ -30,7 +30,8 @@ MODEL_DIMS = {
     "8b": (32, 4096, 32, 8, 128, 14336, 128256),   # Llama-3-8B dims
 }
 
-HBM_BW = {"v5e": 819e9, "v5p": 2765e9, "v4": 1228e9, "cpu": 100e9}
+HBM_BW = {"v5e": 819e9, "v5 lite": 819e9, "v5litepod": 819e9,
+          "v5p": 2765e9, "v4": 1228e9, "v6": 1640e9, "cpu": 100e9}
 
 
 def main():
@@ -83,13 +84,16 @@ def main():
         r.seq_id = i
         reqs.append(r)
 
-    def apply(tokens, rows):
+    def apply(tokens_dev, rows):
+        """Count-level effects only; token values stay on device (the feedback
+        buffer feeds them to the next step — no host sync in the loop)."""
         for i, s in enumerate(rows):
             if s is None:
                 continue
             if s.samples_token:
-                s.request.output_token_ids.append(int(tokens[i]))
+                s.request.output_token_ids.append(None)
             s.request.num_cached_tokens += s.n_tokens
+        return tokens_dev
 
     # chunked prefill (not timed here)
     while any(r.is_prefill_stage() for r in reqs):
@@ -101,14 +105,17 @@ def main():
                 break
             batch.append(s)
             budget -= s.n_tokens
-        apply(*model.forward(batch))
+        apply(*model.forward_async(batch))
 
     # warmup decode (compile)
-    apply(*model.forward([ScheduledSeq(r, 1) for r in reqs]))
+    jax.block_until_ready(apply(*model.forward_async(
+        [ScheduledSeq(r, 1) for r in reqs])))
 
     t0 = time.perf_counter()
+    last = None
     for _ in range(args.steps):
-        apply(*model.forward([ScheduledSeq(r, 1) for r in reqs]))
+        last = apply(*model.forward_async([ScheduledSeq(r, 1) for r in reqs]))
+    jax.block_until_ready(last)
     dt = time.perf_counter() - t0
     tok_per_s = args.batch * args.steps / dt
 

@@ -64,6 +64,13 @@ class StepBatch:
     top_p: jax.Array = 1.0        # f32[B]   nucleus threshold (1.0 → off)
     top_k: jax.Array = 0          # i32[B]   top-k cutoff (0 → off)
     seeds: jax.Array = 0          # u32[B]   per-row PRNG seed for this step
+    # On-device token feedback: lets step N+1 consume step N's sampled tokens
+    # without a host round-trip (the host fetches token values asynchronously,
+    # off the critical path — essential when the host↔chip link is slow).
+    feedback_read: jax.Array = -1   # i32[T] feedback slot to read the token id
+                                    #        from; -1 → use token_ids[t]
+    feedback_write: jax.Array = 0   # i32[B] feedback slot to write row b's
+                                    #        sampled token (pad rows → garbage)
 
 
 # ---------------------------------------------------------------------------------
@@ -138,7 +145,7 @@ def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
 
 def _ragged_paged_attention_jnp(
     q: jax.Array,           # [T, n_q_local, hd]
-    cache_l: jax.Array,     # [S_local, 2, n_kv_local, hd] — this layer, this shard
+    cache_l: jax.Array,     # [S_local, n_kv_local, 2, hd] — this layer, this shard
     batch: StepBatch,
     *,
     page_size: int,
@@ -155,15 +162,15 @@ def _ragged_paged_attention_jnp(
     """
     T, n_q, hd = q.shape
     B, Pg = batch.page_table.shape
-    n_kv = cache_l.shape[2]
+    n_kv = cache_l.shape[1]
     group = n_q // n_kv
     K = Pg * page_size
 
     # [B, K] flat slot ids of every row's KV positions.
     slot_ids = (batch.page_table[:, :, None] * page_size
                 + jnp.arange(page_size, dtype=jnp.int32)[None, None, :]).reshape(B, K)
-    kv = cache_l[slot_ids]                          # [B, K, 2, n_kv, hd]
-    k, v = kv[:, :, 0], kv[:, :, 1]
+    kv = cache_l[slot_ids]                          # [B, K, n_kv, 2, hd]
+    k, v = kv[:, :, :, 0], kv[:, :, :, 1]           # [B, K, n_kv, hd]
 
     # Dense query view: [B, Q] flat-token indices (pad → extra zero row at T).
     # Row b's queries are flat tokens q_starts[b] .. q_starts[b]+q_lens[b]-1.
@@ -197,21 +204,40 @@ def _ragged_paged_attention_jnp(
 # The transformer
 # ---------------------------------------------------------------------------------
 
-def _attention_dispatch(q, cache, layer, batch, *, page_size, sm_scale, use_pallas,
-                        q_bucket):
-    """cache: [L, S, 2, n_kv, hd]; layer: traced scalar. The Pallas kernel takes
-    the full cache + layer index so no per-layer slice is materialized in HBM."""
+def _attention_and_store(q, kv_new, cache3, layer, batch, *, n_kv,
+                         page_size, sm_scale, use_pallas, q_bucket):
+    """Store this layer's fresh K‖V (kv_new [T, n_kv*2*hd], per-head
+    interleaved) into the 3-D cache [L, S, n_kv*2*hd] and run attention.
+    Returns (attn [T, n_q, hd], cache3).
+
+    Decode buckets on the Pallas path fuse the store INTO the kernel (cache
+    aliased in/out) — an XLA scatter adjacent to a custom call forces
+    whole-cache copies every layer. Other paths scatter first, then attend."""
+    T, n_q, hd = q.shape
     if use_pallas:
         from swiftllm_tpu.ops.paged_attention import ragged_paged_attention
-        return ragged_paged_attention(q, cache, layer, batch, page_size=page_size,
+        if q_bucket == 1:
+            return ragged_paged_attention(
+                q, cache3, layer, batch, n_kv=n_kv,
+                page_size=page_size, sm_scale=sm_scale, q_bucket=q_bucket,
+                kv_new=kv_new)
+        cache3 = cache3.at[layer, batch.kv_slots].set(kv_new)
+        attn = ragged_paged_attention(q, cache3, layer, batch, n_kv=n_kv,
+                                      page_size=page_size,
                                       sm_scale=sm_scale, q_bucket=q_bucket)
-    return _ragged_paged_attention_jnp(q, cache[layer], batch, page_size=page_size,
+        return attn, cache3
+    cache3 = cache3.at[layer, batch.kv_slots].set(kv_new)
+    s_local = cache3.shape[1]
+    cache_l = cache3[layer].reshape(s_local, n_kv, 2, hd)
+    attn = _ragged_paged_attention_jnp(q, cache_l, batch, page_size=page_size,
                                        sm_scale=sm_scale, q_bucket=q_bucket)
+    return attn, cache3
 
 
 def forward_shard(
     params: dict[str, Any],
     kv_cache: jax.Array,     # [L, S_local, 2*n_kv_local, hd]
+    feedback: jax.Array,     # i32[F_local] last sampled token per seq slot
     batch: StepBatch,        # per-dp-shard slices
     *,
     cfg: LlamaModelConfig,
@@ -222,7 +248,8 @@ def forward_shard(
 ):
     """Per-shard SPMD body. Runs inside shard_map; collectives over "tp".
 
-    Returns (sampled_tokens i32[B_local], new kv_cache[, logits f32[B_local, V]]).
+    Returns (sampled_tokens i32[B_local], new kv_cache, new feedback
+    [, logits f32[B_local, V]]).
     """
     T = batch.token_ids.shape[0]
     hd = cfg.head_dim
@@ -236,17 +263,27 @@ def forward_shard(
     def psum_tp(x):
         return jax.lax.psum(x, AXIS_TP) if tp_size > 1 else x
 
+    # --- resolve device-fed tokens (step N reads step N-1's samples) ---
+    f_local = feedback.shape[0]
+    fed = feedback[jnp.clip(batch.feedback_read, 0, f_local - 1)]
+    token_ids = jnp.where(batch.feedback_read >= 0, fed, batch.token_ids)
+
     # --- embedding (vocab-sharded): mask + gather + psum ---
     embed = params["embed"]                      # [V_local, D]
     v_local = embed.shape[0]
-    local_ids = batch.token_ids - tp_rank * v_local
+    local_ids = token_ids - tp_rank * v_local
     in_range = (local_ids >= 0) & (local_ids < v_local)
     x = jnp.where(in_range[:, None],
                   embed[jnp.clip(local_ids, 0, v_local - 1)], 0)
     x = psum_tp(x)                               # [T, D]
 
-    # --- layer scan ---
+    # --- layer scan over the 3-D cache [L, S, n_kv*2*hd] ------------------------
+    # The cache is STORED in this shape and carried through the scan with no
+    # reshape at either boundary: a boundary reshape breaks XLA's carry
+    # aliasing and costs two full-cache copies per step (measured on v5e).
     L = kv_cache.shape[0]
+    n_kv_cache = kv_cache.shape[2] // (2 * hd)
+    cache2 = kv_cache
 
     def layer_step(carry, scanned):
         x, cache = carry
@@ -261,12 +298,12 @@ def forward_shard(
         q = apply_rope(q, batch.positions, inv_freq)
         k = apply_rope(k, batch.positions, inv_freq)
 
-        kv_new = jnp.stack([k, v], axis=1)                  # [T, 2, n_kv_l, hd]
-        cache = cache.at[l, batch.kv_slots].set(kv_new)     # in-place on donated buffer
-
-        attn = _attention_dispatch(q, cache, l, batch, page_size=page_size,
-                                   sm_scale=sm_scale, use_pallas=use_pallas,
-                                   q_bucket=q_bucket)
+        # Per-head-interleaved K‖V lanes: [k_0, v_0, k_1, v_1, ...].
+        kv_new = jnp.stack([k, v], axis=2).reshape(T, n_kv_l * 2 * hd)
+        attn, cache = _attention_and_store(
+            q, kv_new, cache, l, batch, n_kv=n_kv_l,
+            page_size=page_size, sm_scale=sm_scale, use_pallas=use_pallas,
+            q_bucket=q_bucket)
         attn = attn.reshape(T, n_q_l * hd)
         x = x + psum_tp(proj(attn, w["wo"]))
 
@@ -277,7 +314,7 @@ def forward_shard(
         return (x, cache), None
 
     (x, kv_cache), _ = jax.lax.scan(
-        layer_step, (x, kv_cache),
+        layer_step, (x, cache2),
         (jnp.arange(L, dtype=jnp.int32), params["layers"]))
 
     x = rms_norm(x, params["final_norm"], eps)
@@ -300,32 +337,37 @@ def forward_shard(
         top_k=batch.top_k, seeds=batch.seeds, v_local=v_local,
         tp_axis=AXIS_TP, tp_size=tp_size, tp_rank=tp_rank)
 
+    # Publish samples to the feedback buffer (pad rows target the garbage slot).
+    feedback = feedback.at[batch.feedback_write].set(tokens, mode="drop")
+
     if return_logits:
         full = (jax.lax.all_gather(logits, AXIS_TP, axis=1, tiled=True)
                 if tp_size > 1 else logits)
-        return tokens, kv_cache, full
-    return tokens, kv_cache
+        return tokens, kv_cache, feedback, full
+    return tokens, kv_cache, feedback
 
 
 
 def make_step_fn(mesh, cfg: LlamaModelConfig, *, page_size: int, q_bucket: int,
                  use_pallas: bool, return_logits: bool = False, quant: str = "none"):
-    """Build the jitted SPMD step for a given mesh. KV cache is donated."""
-    from swiftllm_tpu.parallel.mesh import BATCH_SPECS, KV_CACHE_SPEC, param_specs
+    """Build the jitted SPMD step. KV cache and feedback buffer are donated."""
+    from swiftllm_tpu.parallel.mesh import (BATCH_SPECS, FEEDBACK_SPEC,
+                                            KV_CACHE_SPEC, param_specs)
 
     PARAM_SPECS = param_specs(quant)
     batch_specs = StepBatch(**BATCH_SPECS)
-    out_specs = (P(AXIS_DP), KV_CACHE_SPEC) + ((P(AXIS_DP, None),) if return_logits else ())
+    out_specs = ((P(AXIS_DP), KV_CACHE_SPEC, FEEDBACK_SPEC)
+                 + ((P(AXIS_DP, None),) if return_logits else ()))
 
-    def step(params, kv_cache, batch):
-        return forward_shard(params, kv_cache, batch, cfg=cfg, page_size=page_size,
-                             q_bucket=q_bucket, use_pallas=use_pallas,
-                             return_logits=return_logits)
+    def step(params, kv_cache, feedback, batch):
+        return forward_shard(params, kv_cache, feedback, batch, cfg=cfg,
+                             page_size=page_size, q_bucket=q_bucket,
+                             use_pallas=use_pallas, return_logits=return_logits)
 
     sharded = jax.shard_map(
         step, mesh=mesh,
-        in_specs=(PARAM_SPECS, KV_CACHE_SPEC, batch_specs),
+        in_specs=(PARAM_SPECS, KV_CACHE_SPEC, FEEDBACK_SPEC, batch_specs),
         out_specs=out_specs,
         check_vma=False,
     )
-    return jax.jit(sharded, donate_argnums=(1,))
+    return jax.jit(sharded, donate_argnums=(1, 2))

@@ -53,34 +53,45 @@ NEG_INF = -1e30
 DECODE_ROW_TILE = 16
 
 
-def _make_chunk_io(cache_hbm, page_table_ref, kv_buf, kv_sems, *,
+def _make_chunk_io(cache_hbm, layer, page_table_ref, kv_buf, kv_sems, *,
                    page_size: int, chunk_pages: int):
-    """Per-page async-copy helpers for one row's KV chunks."""
+    """Per-page async-copy helpers for one row's KV chunks.
 
-    def start_chunk(b, c, slot):
+    Copies (and waits on) only the pages that actually hold KV — `need` is the
+    row's total page count cdiv(seq_len, page_size). Skipped buffer regions
+    hold stale data, which the causal/length mask discards. This matters: the
+    naive version DMAs the full padded chunk, which at short contexts is both
+    wasted bandwidth and thousands of extra DMA issues per step."""
+
+    def start_chunk(b, c, slot, need):
         base = c * chunk_pages
         for j in range(chunk_pages):
-            page = page_table_ref[b, base + j]
-            pltpu.make_async_copy(
-                cache_hbm.at[pl.ds(page * page_size, page_size)],
-                kv_buf.at[slot, j],
-                kv_sems.at[slot, j],
-            ).start()
+            @pl.when(base + j < need)
+            def _(j=j):
+                page = page_table_ref[b, base + j]
+                pltpu.make_async_copy(
+                    cache_hbm.at[layer, pl.ds(page * page_size, page_size)],
+                    kv_buf.at[slot, j],
+                    kv_sems.at[slot, j],
+                ).start()
 
-    def wait_chunk(slot):
+    def wait_chunk(slot, base, need):
         for j in range(chunk_pages):
-            # Reconstruct an equivalent copy to wait on its semaphore.
-            pltpu.make_async_copy(
-                cache_hbm.at[pl.ds(0, page_size)],  # shape-only
-                kv_buf.at[slot, j],
-                kv_sems.at[slot, j],
-            ).wait()
+            @pl.when(base + j < need)
+            def _(j=j):
+                # Reconstruct an equivalent copy to wait on its semaphore.
+                pltpu.make_async_copy(
+                    cache_hbm.at[0, pl.ds(0, page_size)],  # shape-only
+                    kv_buf.at[slot, j],
+                    kv_sems.at[slot, j],
+                ).wait()
 
     return start_chunk, wait_chunk
 
 
 def _flash_inner(q2, kv_buf, start_next, wait_chunk, *, num_chunks, q_pos,
-                 seq_len, chunk, n_q, n_kv, hd, sm_scale):
+                 seq_len, chunk, chunk_pages, pages_needed, n_q, n_kv, hd,
+                 sm_scale):
     """Online-softmax flash attention over KV chunks for one tile of queries.
 
     q2: [rows, n_q*hd] VMEM value. Returns a list of [rows, hd] f32 per q head.
@@ -97,19 +108,25 @@ def _flash_inner(q2, kv_buf, start_next, wait_chunk, *, num_chunks, q_pos,
 
         @pl.when(c + 1 < num_chunks)
         def _():
-            start_next(c + 1, jax.lax.rem(c + 1, 2))
+            start_next(c + 1, jax.lax.rem(c + 1, 2), pages_needed)
 
-        wait_chunk(slot)
+        wait_chunk(slot, c * chunk_pages, pages_needed)
         kv2 = kv_buf[slot].reshape(chunk, 2 * n_kv * hd)
         key_pos = c * chunk + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+        # Zero rows that were never DMA'd (stale/uninit VMEM): 0-weighted NaN
+        # would still poison the p@v matmul. Column-iota, no cross-lane reshape.
+        key_pos_col = (c * chunk
+                       + jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0))
+        kv2 = jnp.where(key_pos_col < pages_needed * (chunk // chunk_pages),
+                        kv2, 0)
         valid = (key_pos <= q_pos) & (key_pos < seq_len)   # [rows, chunk]
 
         new_m, new_l, new_acc = [], [], []
         for i in range(n_q):
             h = i // group
             qi = q2[:, i * hd:(i + 1) * hd]                 # [rows, hd]
-            kh = kv2[:, h * hd:(h + 1) * hd]                # [chunk, hd]
-            vh = kv2[:, (n_kv + h) * hd:(n_kv + h + 1) * hd]
+            kh = kv2[:, h * 2 * hd:h * 2 * hd + hd]         # [chunk, hd]
+            vh = kv2[:, h * 2 * hd + hd:(h + 1) * 2 * hd]
             s = jax.lax.dot_general(
                 qi.astype(kh.dtype), kh, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * sm_scale
@@ -132,39 +149,160 @@ def _flash_inner(q2, kv_buf, start_next, wait_chunk, *, num_chunks, q_pos,
 
 
 def _decode_kernel(
-    q_starts_ref, q_lens_ref, seq_lens_ref, page_table_ref,
-    q_ref,          # VMEM block [row_tile, n_q*hd] (rows g*R .. g*R+R-1)
-    cache_hbm,      # [S, 2*n_kv*hd]
-    o_ref,          # VMEM block [row_tile, n_q*hd]
-    kv_buf, kv_sems,
-    *, page_size, chunk_pages, sm_scale, n_q, n_kv, hd, row_tile,
+    layer_ref, q_lens_ref, seq_lens_ref, page_table_ref, kv_slots_ref,
+    q_ref,          # VMEM block [n_q, hd] (row b's heads as sublanes)
+    kv_new_ref,     # VMEM full array [n_rows, 2*n_kv*hd] — the step's new K‖V
+    cache_in,       # [L*S, 2*n_kv*hd] HBM (aliased with cache_out)
+    o_ref,          # VMEM block [n_q, hd]
+    cache_out,      # aliased HBM output — the kernel writes kv_new here
+    kv_buf, kv_sems, w_buf, w_sem, ctr_ref,
+    *, page_size, chunk_pages, sm_scale, n_q, n_kv, hd, n_rows,
 ):
-    g = pl.program_id(0)
+    """One grid step per decode row, with the KV-cache update fused in.
+
+    The new token's K/V is written to its cache slot by an in-kernel DMA
+    (cache aliased in/out, so the whole step updates the cache IN PLACE — an
+    XLA-level scatter next to a custom call forces whole-cache copies every
+    layer). The attention itself streams only the FIRST seq_len-1 positions
+    from HBM and folds the new token's contribution in from VMEM, so there is
+    no write→read hazard on the cache.
+
+    All q heads ride the sublane axis, so each KV chunk costs n_kv matmuls of
+    [group, chunk] (not n_q of [1, chunk]). The KV stream is double-buffered
+    globally: chunk slots alternate across the whole (row, chunk) sequence and
+    each chunk's compute starts the NEXT stream element — the next chunk of
+    this row, or the first chunk of the next row — so DMA latency is hidden
+    across row boundaries. ``ctr_ref`` (SMEM, persists across grid steps)
+    carries the slot parity."""
+    b = pl.program_id(0)
+    layer = layer_ref[0]
     chunk = chunk_pages * page_size
+    group = n_q // n_kv
     start_chunk, wait_chunk = _make_chunk_io(
-        cache_hbm, page_table_ref, kv_buf, kv_sems,
+        cache_in, layer, page_table_ref, kv_buf, kv_sems,
         page_size=page_size, chunk_pages=chunk_pages)
 
-    for r in range(row_tile):
-        b = g * row_tile + r
-        seq_len = seq_lens_ref[b]
+    seq_len = seq_lens_ref[b]
+    hist = seq_len - 1                  # positions streamed from the cache
+    nc = pl.cdiv(hist, chunk)
+    need = pl.cdiv(hist, page_size)
 
-        @pl.when((q_lens_ref[b] > 0) & (seq_len > 0))
-        def _row(r=r, b=b, seq_len=seq_len):
-            start_chunk(b, 0, 0)
-            num_chunks = pl.cdiv(seq_len, chunk)
-            q2 = q_ref[r:r + 1, :]                          # [1, n_q*hd]
-            q_pos = jnp.full((1, 1), seq_len - 1, jnp.int32)
-            outs = _flash_inner(
-                q2, kv_buf, functools.partial(start_chunk, b), wait_chunk,
-                num_chunks=num_chunks, q_pos=q_pos, seq_len=seq_len,
-                chunk=chunk, n_q=n_q, n_kv=n_kv, hd=hd, sm_scale=sm_scale)
-            for i in range(n_q):
-                o_ref[r:r + 1, i * hd:(i + 1) * hd] = outs[i].astype(o_ref.dtype)
+    @pl.when(b == 0)
+    def _():
+        ctr_ref[0] = 0
+        start_chunk(0, 0, 0, pl.cdiv(seq_lens_ref[0] - 1, page_size))
+
+    base = ctr_ref[0]
+    b_next = jnp.minimum(b + 1, n_rows - 1)
+    next_valid = (b + 1 < n_rows) & (q_lens_ref[b_next] > 0)
+    next_need = pl.cdiv(seq_lens_ref[b_next] - 1, page_size)
+
+    @pl.when((q_lens_ref[b] > 0) & (seq_len > 0))
+    def _row():
+        # The cache write is a read-modify-write of the slot's whole page:
+        # single-row HBM slices are not tile-aligned, a full page is. Start
+        # the page read now; merge + write back after attention (by then every
+        # read of this page — ours included — has completed, and no other row
+        # ever touches this page).
+        w_page = kv_slots_ref[b] // page_size
+        w_read = pltpu.make_async_copy(
+            cache_in.at[layer, pl.ds(w_page * page_size, page_size)], w_buf, w_sem)
+        w_read.start()
+        # Select this row's new K/V by mask-sum (single-sublane dynamic
+        # slices are illegal).
+        all_new = kv_new_ref[...].astype(jnp.float32)       # [n_rows, lanes]
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (all_new.shape[0], 1), 0)
+        kv_new = jnp.sum(jnp.where(row_iota == b, all_new, 0),
+                         axis=0, keepdims=True)             # [1, lanes] f32
+
+        # hist == 0 rows run zero chunk iterations, so the cross-row prefetch
+        # chain must be kept alive here instead.
+        @pl.when((nc == 0) & next_valid)
+        def _():
+            start_chunk(b_next, 0, base, next_need)
+
+        q = q_ref[...]                                     # [n_q, hd]
+        m0 = jnp.full((n_kv, group, 1), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((n_kv, group, 1), jnp.float32)
+        a0 = jnp.zeros((n_kv, group, hd), jnp.float32)
+
+        def body(c, carry):
+            m, l, acc = carry
+            slot = jax.lax.rem(base + c, 2)
+
+            @pl.when(c + 1 < nc)
+            def _():
+                start_chunk(b, c + 1, jax.lax.rem(base + c + 1, 2), need)
+
+            @pl.when((c + 1 >= nc) & next_valid)
+            def _():
+                start_chunk(b_next, 0, jax.lax.rem(base + nc, 2), next_need)
+
+            wait_chunk(slot, c * chunk_pages, need)
+            kv2 = kv_buf[slot].reshape(chunk, 2 * n_kv * hd)
+            key_pos = c * chunk + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+            # Zero never-DMA'd rows (stale/uninit VMEM): 0 * NaN poisons p@v.
+            key_pos_col = (c * chunk
+                           + jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0))
+            kv2 = jnp.where(key_pos_col < need * page_size, kv2, 0)
+            valid = key_pos < hist                          # [1, chunk]
+
+            new_m, new_l, new_acc = [], [], []
+            for h in range(n_kv):
+                qh = q[h * group:(h + 1) * group, :]        # [group, hd]
+                kh = kv2[:, h * 2 * hd:h * 2 * hd + hd]     # [chunk, hd]
+                vh = kv2[:, h * 2 * hd + hd:(h + 1) * 2 * hd]
+                s = jax.lax.dot_general(
+                    qh.astype(kh.dtype), kh, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * sm_scale
+                s = jnp.where(valid, s, NEG_INF)            # [group, chunk]
+
+                mi = jnp.maximum(m[h], jnp.max(s, axis=-1, keepdims=True))
+                p = jnp.exp(s - mi)
+                scale = jnp.exp(m[h] - mi)
+                li = l[h] * scale + jnp.sum(p, axis=-1, keepdims=True)
+                ai = acc[h] * scale + jax.lax.dot_general(
+                    p.astype(vh.dtype), vh, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                new_m.append(mi)
+                new_l.append(li)
+                new_acc.append(ai)
+            return (jnp.stack(new_m), jnp.stack(new_l), jnp.stack(new_acc))
+
+        m, l, acc = jax.lax.fori_loop(0, nc, body, (m0, l0, a0))
+
+        # Fold in the new token (key position seq_len-1) from VMEM.
+        outs = []
+        for h in range(n_kv):
+            qh = q[h * group:(h + 1) * group, :].astype(jnp.float32)
+            k_new = kv_new[:, h * 2 * hd:h * 2 * hd + hd]
+            v_new = kv_new[:, h * 2 * hd + hd:(h + 1) * 2 * hd]
+            s_new = jnp.sum(qh * k_new, axis=-1, keepdims=True) * sm_scale
+            mi = jnp.maximum(m[h], s_new)
+            scale = jnp.exp(m[h] - mi)
+            p_new = jnp.exp(s_new - mi)
+            li = l[h] * scale + p_new
+            ai = acc[h] * scale + p_new * v_new
+            outs.append(ai / jnp.maximum(li, 1e-30))
+        out = jnp.concatenate(outs, axis=0)
+        o_ref[...] = out.astype(o_ref.dtype)
+        ctr_ref[0] = jax.lax.rem(base + nc, 2)
+
+        # Merge the new K/V row into the page and write it back.
+        w_read.wait()
+        w_off = kv_slots_ref[b] % page_size
+        page_tile = w_buf[...]                              # [page_size, lanes]
+        sub_iota = jax.lax.broadcasted_iota(jnp.int32, (page_size, 1), 0)
+        w_buf[...] = jnp.where(sub_iota == w_off,
+                               kv_new.astype(w_buf.dtype), page_tile)
+        w_write = pltpu.make_async_copy(
+            w_buf, cache_out.at[layer, pl.ds(w_page * page_size, page_size)], w_sem)
+        w_write.start()
+        w_write.wait()
 
 
 def _tiles_kernel(
-    q_starts_ref, q_lens_ref, seq_lens_ref, page_table_ref,
+    layer_ref, q_starts_ref, q_lens_ref, seq_lens_ref, page_table_ref,
     q_hbm,          # [T, n_q*hd]
     cache_hbm,      # [S, 2*n_kv*hd]
     o_hbm,          # [T, n_q*hd]
@@ -178,7 +316,7 @@ def _tiles_kernel(
     seq_len = seq_lens_ref[b]
     q_start = q_starts_ref[b]
     start_chunk, wait_chunk = _make_chunk_io(
-        cache_hbm, page_table_ref, kv_buf, kv_sems,
+        cache_hbm, layer_ref[0], page_table_ref, kv_buf, kv_sems,
         page_size=page_size, chunk_pages=chunk_pages)
 
     @pl.when((q_len > t * tile_q) & (seq_len > 0))
@@ -192,8 +330,9 @@ def _tiles_kernel(
         # Causal upper bound on the KV this tile can see.
         kv_needed = jnp.minimum(seq_len, seq_len - q_len + (t + 1) * tile_q)
         num_chunks = pl.cdiv(kv_needed, chunk)
+        pages_needed = pl.cdiv(kv_needed, page_size)
 
-        start_chunk(b, 0, 0)
+        start_chunk(b, 0, 0, pages_needed)
         q_dma.wait()
         q2 = q_buf[:]                                       # [tile_q, n_q*hd]
         q_pos = (seq_len - q_len + t * tile_q
@@ -202,7 +341,8 @@ def _tiles_kernel(
         outs = _flash_inner(
             q2, kv_buf, functools.partial(start_chunk, b), wait_chunk,
             num_chunks=num_chunks, q_pos=q_pos, seq_len=seq_len,
-            chunk=chunk, n_q=n_q, n_kv=n_kv, hd=hd, sm_scale=sm_scale)
+            chunk=chunk, chunk_pages=chunk_pages, pages_needed=pages_needed,
+            n_q=n_q, n_kv=n_kv, hd=hd, sm_scale=sm_scale)
         for i in range(n_q):
             o_buf[:, i * hd:(i + 1) * hd] = outs[i].astype(o_buf.dtype)
         o_dma = pltpu.make_async_copy(
@@ -223,66 +363,88 @@ def _chunk_geometry(Pg, page_size, n_kv, hd, itemsize, max_chunk_pages):
     return chunk_pages, cdiv(Pg, chunk_pages)
 
 
-def ragged_paged_attention(q, cache, layer, batch, *, page_size: int,
-                           sm_scale: float, q_bucket: int,
+def ragged_paged_attention(q, cache3, layer, batch, *, n_kv: int,
+                           page_size: int, sm_scale: float, q_bucket: int,
+                           kv_new=None,
                            interpret: bool = False,
-                           max_chunk_pages: int | None = None) -> jax.Array:
-    """q: [T, n_q, hd]; cache: [L, S, 2, n_kv, hd] (FULL cache — the kernel
-    offsets pages by `layer`, a traced scalar, so XLA never materializes a
-    per-layer slice). Returns [T, n_q, hd]."""
+                           max_chunk_pages: int | None = None):
+    """q: [T, n_q, hd]; cache3: [L, S, n_kv*2*hd] — the FULL 3-D cache, lanes
+    per-head-interleaved K‖V ([k_0,v_0,k_1,v_1,...]). The kernel indexes the
+    layer (a traced scalar) directly on the HBM ref, so XLA never materializes
+    a per-layer slice or a layout change of the cache.
+
+    kv_new: optional [T, n_kv*2*hd] — the step's freshly projected K‖V. When
+    given (decode path), the KERNEL writes it to the cache slots
+    (batch.kv_slots) with the cache aliased in/out, and returns
+    (out, updated_cache). An XLA-level scatter next to this custom call forces
+    whole-cache copies every layer; the fused write keeps the update in place.
+    Without kv_new, returns just `out` (caller has already scattered)."""
     T, n_q, hd = q.shape
     B, Pg = batch.page_table.shape
-    L, S = cache.shape[0], cache.shape[1]
-    n_kv = cache.shape[3]
+    assert cache3.ndim == 3 and cache3.shape[2] == 2 * n_kv * hd
     assert (n_q * hd) % 128 == 0, f"n_q*hd={n_q*hd} must be 128-aligned"
-    assert (2 * n_kv * hd) % 128 == 0, f"2*n_kv*hd={2*n_kv*hd} must be 128-aligned"
+    assert (2 * n_kv * hd) % 128 == 0, \
+        f"2*n_kv*hd={2*n_kv*hd} (cache lane dim) must be 128-aligned"
 
-    itemsize = jnp.dtype(cache.dtype).itemsize
+    itemsize = jnp.dtype(cache3.dtype).itemsize
     chunk_pages, max_chunks = _chunk_geometry(
         Pg, page_size, n_kv, hd, itemsize, max_chunk_pages)
-    # Shift page ids into the layer's slot range of the flat [L*S] cache view,
-    # and pad so chunk reads never index out of bounds.
-    pt = batch.page_table + layer.astype(jnp.int32) * (S // page_size)
+    # Pad the page table so chunk reads never index out of bounds.
+    pt = batch.page_table
     pad_pages = chunk_pages * max_chunks - Pg
     if pad_pages:
         pt = jnp.pad(pt, ((0, 0), (0, pad_pages)))
+    layer_arr = jnp.reshape(layer.astype(jnp.int32), (1,))
 
     tile_q = tile_q_for(q_bucket)
-    scalars = (batch.q_starts, batch.q_lens, batch.seq_lens, pt)
+    scalars = (layer_arr, batch.q_starts, batch.q_lens, batch.seq_lens, pt)
 
     if tile_q == 1:
         # Decode: the builder packs decode tokens so flat index == row index.
         assert T >= B, f"decode path needs T({T}) >= B({B})"
-        row_tile = min(DECODE_ROW_TILE, B)
-        assert B % row_tile == 0
+        assert kv_new is not None, "decode path fuses the KV-cache update"
+        kv_slots_l = batch.kv_slots[:B]
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,
-            grid=(B // row_tile,),
+            num_scalar_prefetch=5,
+            grid=(B,),
             in_specs=[
-                pl.BlockSpec((row_tile, n_q * hd), lambda g, *refs: (g, 0)),
-                pl.BlockSpec(memory_space=pltpu.HBM),   # cache
+                pl.BlockSpec((n_q, hd), lambda b, *refs: (b, 0)),          # q
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # kv_new (whole array)
+                pl.BlockSpec(memory_space=pltpu.HBM),   # cache (aliased)
             ],
-            out_specs=pl.BlockSpec((row_tile, n_q * hd), lambda g, *refs: (g, 0)),
+            out_specs=[
+                pl.BlockSpec((n_q, hd), lambda b, *refs: (b, 0)),           # o
+                pl.BlockSpec(memory_space=pltpu.HBM),   # cache out (alias)
+            ],
             scratch_shapes=[
-                pltpu.VMEM((2, chunk_pages, page_size, 2 * n_kv * hd), cache.dtype),
+                pltpu.VMEM((2, chunk_pages, page_size, 2 * n_kv * hd), cache3.dtype),
                 pltpu.SemaphoreType.DMA((2, chunk_pages)),
+                pltpu.VMEM((page_size, 2 * n_kv * hd), cache3.dtype),  # w_buf
+                pltpu.SemaphoreType.DMA,                 # kv page RMW
+                pltpu.SMEM((1,), jnp.int32),
             ],
         )
         kernel = functools.partial(
             _decode_kernel, page_size=page_size, chunk_pages=chunk_pages,
-            sm_scale=sm_scale, n_q=n_q, n_kv=n_kv, hd=hd, row_tile=row_tile)
-        out = pl.pallas_call(
+            sm_scale=sm_scale, n_q=n_q, n_kv=n_kv, hd=hd, n_rows=B)
+        out, cache3 = pl.pallas_call(
             kernel, grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((B, n_q * hd), q.dtype),
+            out_shape=[jax.ShapeDtypeStruct((B * n_q, hd), q.dtype),
+                       jax.ShapeDtypeStruct(cache3.shape, cache3.dtype)],
+            # flat operand order: 5 scalar-prefetch, q=5, kv_new=6, cache=7.
+            input_output_aliases={7: 1},
             interpret=interpret,
-        )(*scalars, q.reshape(T, n_q * hd)[:B],
-          cache.reshape(L * S, 2 * n_kv * hd))
+        )(layer_arr, batch.q_lens, batch.seq_lens, pt, kv_slots_l,
+          q[:B].reshape(B * n_q, hd),
+          kv_new[:B],
+          cache3)
+        out = out.reshape(B, n_q * hd)
         if T > B:
             out = jnp.pad(out, ((0, T - B), (0, 0)))
-        return out.reshape(T, n_q, hd)
+        return out.reshape(T, n_q, hd), cache3
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(B, cdiv(q_bucket, tile_q)),
         in_specs=[
             # Explicit HBM: with pl.ANY the compiler may promote small arrays
@@ -293,7 +455,7 @@ def ragged_paged_attention(q, cache, layer, batch, *, page_size: int,
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
             pltpu.VMEM((tile_q, n_q * hd), q.dtype),                        # q_buf
-            pltpu.VMEM((2, chunk_pages, page_size, 2 * n_kv * hd), cache.dtype),
+            pltpu.VMEM((2, chunk_pages, page_size, 2 * n_kv * hd), cache3.dtype),
             pltpu.VMEM((tile_q, n_q * hd), q.dtype),                        # o_buf
             pltpu.SemaphoreType.DMA,                                        # q_sem
             pltpu.SemaphoreType.DMA((2, chunk_pages)),                      # kv_sems
@@ -307,5 +469,5 @@ def ragged_paged_attention(q, cache, layer, batch, *, page_size: int,
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T, n_q * hd), q.dtype),
         interpret=interpret,
-    )(*scalars, q.reshape(T, n_q * hd), cache.reshape(L * S, 2 * n_kv * hd))
+    )(*scalars, q.reshape(T, n_q * hd), cache3)
     return out.reshape(T, n_q, hd)

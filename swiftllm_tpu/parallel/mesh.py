@@ -54,10 +54,13 @@ PARAM_SPECS = {
     },
 }
 
-# KV cache [L, S, 2, n_kv, hd]: flat slots sharded over dp (each dp group owns
-# its page pool), kv heads sharded over tp. Axis 2 separates K and V so the
-# head axis shards cleanly.
-KV_CACHE_SPEC = P(None, AXIS_DP, None, AXIS_TP, None)
+# KV cache [L, S, n_kv*2*hd]: flat slots sharded over dp (each dp group owns
+# its page pool), the lane axis sharded over tp at head granularity (lanes are
+# per-head-interleaved K‖V: [k_0,v_0,k_1,v_1,...], so a tp shard gets whole
+# heads). 3-D with no K/V axis so the jitted step NEVER reshapes the cache —
+# a reshape at the scan boundary breaks XLA's carry aliasing and costs two
+# full-cache copies per step (measured on v5e).
+KV_CACHE_SPEC = P(None, AXIS_DP, AXIS_TP)
 
 GEMM_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
 
@@ -87,7 +90,13 @@ BATCH_SPECS = {
     "top_p": P(AXIS_DP),
     "top_k": P(AXIS_DP),
     "seeds": P(AXIS_DP),
+    "feedback_read": P(AXIS_DP),
+    "feedback_write": P(AXIS_DP),
 }
+
+# On-device last-sampled-token buffer, one slot per seq id per dp group
+# (+1 garbage slot). Lets decode steps chain without host round-trips.
+FEEDBACK_SPEC = P(AXIS_DP)
 
 OUT_TOKEN_SPEC = P(AXIS_DP)     # sampled token per batch row
 

@@ -66,6 +66,7 @@ class Engine:
                                   if engine_config.eos_stop else set())
 
         self.untokenized_raw_requests: list[tuple[Request, str]] = []
+        self._pending_step = None   # dispatched step awaiting token resolution
         self._work_event = asyncio.Event()
         self._model_executor = ThreadPoolExecutor(max_workers=1,
                                                   thread_name_prefix="model-step")
@@ -100,12 +101,26 @@ class Engine:
         return req
 
     async def add_request_and_stream(self, raw_request: RawRequest):
-        """Submit and yield one StepOutput per generated token."""
+        """Submit and yield one StepOutput per generated token.
+
+        The loop ends on the finish event + drained queue, NOT on
+        ``is_finished()`` alone: with pipelined dispatch a request is
+        finished-by-count one step before its last token value resolves."""
         req = self._submit(raw_request)
         while True:
-            step_output = await req.output_q.get()
-            yield step_output
-            if step_output.request.is_finished():
+            get_task = asyncio.ensure_future(req.output_q.get())
+            ev_task = asyncio.ensure_future(req.finished_event.wait())
+            done, _ = await asyncio.wait({get_task, ev_task},
+                                         return_when=asyncio.FIRST_COMPLETED)
+            if get_task in done:
+                ev_task.cancel()
+                yield get_task.result()
+                if req.finished_event.is_set() and req.output_q.empty():
+                    break
+            else:
+                get_task.cancel()
+                while not req.output_q.empty():   # drain late arrivals
+                    yield req.output_q.get_nowait()
                 break
 
     async def add_request_and_wait(self, raw_request: RawRequest) -> tuple[Request, list[int]]:
@@ -141,54 +156,60 @@ class Engine:
         self._work_event.clear()
         await self._work_event.wait()
 
-    def _reap_aborted(self):
-        sch = self.scheduler
-        aborted = [r for r in sch.running_q if r.aborted]
-        aborted += [r for r in sch.swapped_q if r.aborted]
-        for r in aborted:
-            self.model.free_seqs_resources([r])
+    def _release_request(self, r: Request):
+        """Free every resource a terminal (finished/aborted) request holds.
+        Idempotent via ``resources_freed``."""
+        if r.resources_freed or r.seq_id < 0:
+            return
+        r.resources_freed = True
+        self.model.free_seqs_resources([r])
+        if getattr(r, "swapped", False):
             if self.model.cpu_block_mgr is not None:
                 self.model.cpu_block_mgr.free_seq(r.seq_id)
-            sch.request_id_manager.free_id(r.seq_id)
-            r.finished_event.set()
-        if aborted:
-            sch.running_q = [r for r in sch.running_q if not r.aborted]
+            self.scheduler.on_swap_in_done([r])   # return its CPU-block budget
+        self.scheduler.request_id_manager.free_id(r.seq_id)
+
+    def _reap_terminal(self):
+        """Remove finished/aborted requests from the scheduler queues and free
+        their pages/ids. Runs before every scheduling decision — in the
+        pipelined loop, finish-by-count is known at dispatch time while token
+        VALUES resolve one step later."""
+        sch = self.scheduler
+
+        def terminal(r):
+            return r.aborted or r.is_finished()
+
+        for r in sch.running_q:
+            if terminal(r):
+                self._release_request(r)
+                if r.aborted:
+                    r.finished_event.set()
+        sch.running_q = [r for r in sch.running_q if not terminal(r)]
+
+        if any(terminal(r) for r in sch.swapped_q):
+            for r in sch.swapped_q:
+                if terminal(r):
+                    self._release_request(r)
+                    r.finished_event.set()
             sch.swapped_q = type(sch.swapped_q)(
-                r for r in sch.swapped_q if not r.aborted)
-        still_waiting = []
-        for r in sch.waiting_q:
-            if r.aborted:
-                r.finished_event.set()
-            else:
-                still_waiting.append(r)
-        sch.waiting_q = type(sch.waiting_q)(still_waiting)
+                r for r in sch.swapped_q if not terminal(r))
+
+        if any(r.aborted for r in sch.waiting_q):
+            for r in sch.waiting_q:
+                if r.aborted:
+                    r.finished_event.set()
+            sch.waiting_q = type(sch.waiting_q)(
+                r for r in sch.waiting_q if not r.aborted)
 
     async def _run_on_model_async(self, fn, *args):
         loop = asyncio.get_running_loop()
         return await loop.run_in_executor(self._model_executor, fn, *args)
 
-    async def _step(self) -> bool:
-        """One engine iteration. Returns False when there is nothing to do."""
-        self._reap_aborted()
-        decision = self.scheduler.get_next_batch()
-
-        if decision.swap_out:
-            await self._run_on_model_async(self.model.swap_out_seqs, decision.swap_out)
-            self.scheduler.on_swap_out_done(decision.swap_out)
-            self.stats.num_preemptions += len(decision.swap_out)
-        if decision.swap_in:
-            await self._run_on_model_async(self.model.swap_in_seqs, decision.swap_in)
-            self.scheduler.on_swap_in_done(decision.swap_in)
-
-        if not decision.batch:
-            return bool(decision.swap_in or decision.swap_out)
-
-        t0 = time.perf_counter()
-        tokens, rows = await self._run_on_model_async(self.model.forward, decision.batch)
-        self.stats.total_step_time += time.perf_counter() - t0
-        self.stats.num_steps += 1
-
-        finished: list[Request] = []
+    def _dispatch(self, batch):
+        """Dispatch one step and apply its COUNT effects (token values arrive
+        at resolution). Returns the pending-step record."""
+        tokens_dev, rows = self.model.forward_async(batch)
+        entries = []   # (request, output position, batch row)
         for i, s in enumerate(rows):
             if s is None:
                 continue
@@ -199,25 +220,73 @@ class Engine:
             if was_prefill:
                 self.stats.num_prompt_tokens += s.n_tokens
             if samples:
-                token_id = int(tokens[i])
-                r.output_token_ids.append(token_id)
-                self.stats.num_tokens_generated += 1
-                if token_id in self.eos_ids and len(r.output_token_ids) < r.output_len:
-                    r.stopped_on_eos = True
-                r.output_q.put_nowait(StepOutput(token_id, r))
-            if r.is_finished():   # output_len reached, EOS, or aborted mid-step
+                r.output_token_ids.append(None)   # value pending on device
+                entries.append((r, len(r.output_token_ids) - 1, i))
+        self.stats.num_steps += 1
+        return (tokens_dev, entries, time.perf_counter())
+
+    async def _resolve(self, pending):
+        """Block (off the event loop) for a dispatched step's token values and
+        apply them: fill placeholders, stream, EOS-stop, finish events."""
+        tokens_dev, entries, t_dispatch = pending
+        import jax
+        import numpy as np
+        tokens = await self._run_on_model_async(
+            lambda t: np.asarray(jax.device_get(t)), tokens_dev)
+        self.stats.total_step_time += time.perf_counter() - t_dispatch
+        for r, pos, i in entries:
+            if r.aborted or pos >= len(r.output_token_ids):
+                continue   # aborted, or truncated by an earlier EOS
+            val = int(tokens[i])
+            r.output_token_ids[pos] = val
+            self.stats.num_tokens_generated += 1
+            if val in self.eos_ids and pos + 1 < r.output_len:
+                r.stopped_on_eos = True
+                del r.output_token_ids[pos + 1:]   # drop in-flight overshoot
+            r.output_q.put_nowait(StepOutput(val, r))
+            if r.is_finished() and pos == len(r.output_token_ids) - 1:
                 r.finished_event.set()
-                finished.append(r)
-        if finished:
-            self.model.free_seqs_resources(finished)
-            self.stats.num_requests_finished += len(finished)
-        self.scheduler.on_batch_finish(decision.batch)
-        return True
+                self.stats.num_requests_finished += 1
+
+    async def _step(self) -> bool:
+        """One engine iteration, pipelined: dispatch step N, then resolve step
+        N-1's tokens while N runs on the device. The on-device feedback buffer
+        lets step N consume step N-1's samples without the host round-trip."""
+        self._reap_terminal()
+        decision = self.scheduler.get_next_batch()
+
+        if decision.swap_out:
+            # Swaps synchronize with the device; resolve the pipeline first.
+            if self._pending_step is not None:
+                await self._resolve(self._pending_step)
+                self._pending_step = None
+            await self._run_on_model_async(self.model.swap_out_seqs, decision.swap_out)
+            self.scheduler.on_swap_out_done(decision.swap_out)
+            for r in decision.swap_out:
+                r.swapped = True
+            self.stats.num_preemptions += len(decision.swap_out)
+        if decision.swap_in:
+            await self._run_on_model_async(self.model.swap_in_seqs, decision.swap_in)
+            self.scheduler.on_swap_in_done(decision.swap_in)
+            for r in decision.swap_in:
+                r.swapped = False
+
+        pending_new = None
+        if decision.batch:
+            pending_new = await self._run_on_model_async(self._dispatch, decision.batch)
+
+        progressed = bool(decision.batch or decision.swap_in or decision.swap_out)
+        if self._pending_step is not None:
+            await self._resolve(self._pending_step)
+            progressed = True
+        self._pending_step = pending_new
+        return progressed
 
     async def _main_event_loop(self):
         while True:
             progressed = await self._step()
-            if not progressed and not self.scheduler.has_pending():
+            if (not progressed and self._pending_step is None
+                    and not self.scheduler.has_pending()):
                 await self._wait_for_work()
             else:
                 # Yield to the event loop so request/abort coroutines run.

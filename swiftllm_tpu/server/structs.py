@@ -63,6 +63,8 @@ class Request:
         self.req_index = next(_req_counter)   # global arrival order (FCFS key)
         self.stopped_on_eos = False
         self.aborted = False
+        self.swapped = False           # KV currently lives in the CPU swap cache
+        self.resources_freed = False   # pages/ids already released (idempotence)
         self.output_q: asyncio.Queue[StepOutput] = asyncio.Queue()
         self.finished_event = asyncio.Event()
 

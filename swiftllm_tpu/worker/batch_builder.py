@@ -99,6 +99,9 @@ def build_step_batch(
     top_p = np.ones((dp, B), np.float32)
     top_k = np.zeros((dp, B), np.int32)
     seeds = np.zeros((dp, B), np.uint32)
+    feedback_read = np.full((dp, T), -1, np.int32)
+    garbage_fb_slot = cfg.max_seqs_in_block_table
+    feedback_write = np.full((dp, B), garbage_fb_slot, np.int32)
 
     rows: list[ScheduledSeq] = [None] * (dp * B)  # type: ignore
 
@@ -116,7 +119,16 @@ def build_step_batch(
             npages = len(pages)
             assert npages <= Pg, f"seq {r.seq_id} has {npages} pages > bucket {Pg}"
 
-            token_ids[g, cursor:cursor + n] = r.all_token_ids[start:end]
+            fed = r.all_token_ids[start:end]
+            if fed and fed[-1] is None:
+                # The request's last sampled token is still on-device (async
+                # pipelining): read it from the feedback buffer instead.
+                fed = list(fed)
+                fed[-1] = 0
+                feedback_read[g, cursor + n - 1] = r.seq_id
+            assert all(t is not None for t in fed), \
+                f"seq {r.seq_id}: only the final sampled token may be unresolved"
+            token_ids[g, cursor:cursor + n] = fed
             pos = np.arange(start, end, dtype=np.int32)
             positions[g, cursor:cursor + n] = pos
             kv_slots[g, cursor:cursor + n] = pages[pos // ps] * ps + pos % ps
@@ -125,6 +137,8 @@ def build_step_batch(
             seq_lens[g, b] = end
             page_table[g, b, :npages] = pages
             sample_mask[g, b] = s.samples_token
+            if s.samples_token:
+                feedback_write[g, b] = r.seq_id
             temperature[g, b] = r.temperature
             top_p[g, b] = r.top_p
             top_k[g, b] = r.top_k
@@ -148,6 +162,8 @@ def build_step_batch(
         top_p=top_p.reshape(dp * B),
         top_k=top_k.reshape(dp * B),
         seeds=seeds.reshape(dp * B),
+        feedback_read=feedback_read.reshape(dp * T),
+        feedback_write=feedback_write.reshape(dp * B),
     )
     return batch, key, rows
 

@@ -24,7 +24,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from swiftllm_tpu.config import EngineConfig, LlamaModelConfig
 from swiftllm_tpu.models.llama import StepBatch, make_step_fn
-from swiftllm_tpu.parallel.mesh import (AXIS_DP, AXIS_TP, BATCH_SPECS, KV_CACHE_SPEC,
+from swiftllm_tpu.parallel.mesh import (AXIS_DP, AXIS_TP, BATCH_SPECS,
+                                        FEEDBACK_SPEC, KV_CACHE_SPEC,
                                         make_mesh, named)
 from swiftllm_tpu.server.scheduler import ScheduledSeq
 from swiftllm_tpu.server.structs import Request
@@ -49,6 +50,7 @@ class LlamaModel:
         self.dtype = jnp.dtype(engine_config.dtype)
         self.params = None
         self.kv_cache = None          # [L, dp*S_local, 2, n_kv, hd], donated each step
+        self.token_feedback = None    # i32[dp*(max_seqs+1)] last sample per seq slot
         self.cpu_cache = None         # host numpy [L, cpu_slots, 2, n_kv, hd]
         self.hbm_block_mgrs: list[BlockManager] = []
         self.cpu_block_mgr: BlockManager | None = None
@@ -57,6 +59,7 @@ class LlamaModel:
         self._swap_fns: dict[tuple, object] = {}
         self._batch_shardings = StepBatch(**named(self.mesh, BATCH_SPECS))
         self._cache_sharding = NamedSharding(self.mesh, KV_CACHE_SPEC)
+        self._feedback_sharding = NamedSharding(self.mesh, FEEDBACK_SPEC)
 
     # --- init -----------------------------------------------------------------
     def load_weights(self):
@@ -67,9 +70,12 @@ class LlamaModel:
         return sum(x.nbytes for x in jax.tree.leaves(self.params))
 
     def _cache_shape(self, num_blocks_per_shard: int) -> tuple[int, ...]:
+        """3-D [L, S, n_kv*2*hd] with per-head-interleaved K‖V lanes — stored in
+        exactly the shape the jitted step scans over (a reshape at the scan
+        boundary breaks XLA carry aliasing: two full-cache copies per step)."""
         mc, cfg = self.model_config, self.engine_config
         s_local = (num_blocks_per_shard + 1) * cfg.block_size   # +1 garbage page
-        return (mc.num_layers, self.dp * s_local, 2, self.num_kv_eff, mc.head_dim)
+        return (mc.num_layers, self.dp * s_local, self.num_kv_eff * 2 * mc.head_dim)
 
     def profile_num_blocks(self) -> int:
         """Pages per dp shard that fit in HBM, from compiled-program memory stats
@@ -115,6 +121,10 @@ class LlamaModel:
         self.kv_cache = jax.jit(
             lambda: jnp.zeros(shape, self.dtype),
             out_shardings=self._cache_sharding)()
+        fb_local = cfg.max_seqs_in_block_table + 1   # +1 garbage slot
+        self.token_feedback = jax.jit(
+            lambda: jnp.zeros((self.dp * fb_local,), jnp.int32),
+            out_shardings=self._feedback_sharding)()
         self.hbm_block_mgrs = [
             BlockManager(f"hbm{g}", num_blocks_per_shard, cfg.block_size,
                          cfg.max_seqs_in_block_table, cfg.max_blocks_per_seq)
@@ -124,8 +134,8 @@ class LlamaModel:
             cfg.max_seqs_in_block_table, cfg.max_blocks_per_seq)
         if cfg.num_cpu_blocks > 0:
             self.cpu_cache = np.zeros(
-                (mc.num_layers, cfg.num_cpu_blocks * cfg.block_size, 2,
-                 self.num_kv_eff, mc.head_dim),
+                (mc.num_layers, cfg.num_cpu_blocks * cfg.block_size,
+                 self.num_kv_eff * 2 * mc.head_dim),
                 dtype=self.dtype)
 
     @property
@@ -150,8 +160,8 @@ class LlamaModel:
         dp = self.dp
         s_local = (num_blocks + 1) * cfg.block_size
         cache = jax.ShapeDtypeStruct(
-            (mc.num_layers, dp * s_local, 2, self.num_kv_eff, mc.head_dim),
-            self.dtype, sharding=self._cache_sharding)
+            self._cache_shape(num_blocks), self.dtype,
+            sharding=self._cache_sharding)
         sh = self._batch_shardings
         batch = StepBatch(
             token_ids=jax.ShapeDtypeStruct((dp * key.tokens,), jnp.int32, sharding=sh.token_ids),
@@ -176,15 +186,25 @@ class LlamaModel:
         params_sds = jax.tree.map(
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding),
             self.params)
+        feedback = jax.ShapeDtypeStruct(
+            (dp * (cfg.max_seqs_in_block_table + 1),), jnp.int32,
+            sharding=self._feedback_sharding)
         fn = self._get_step_fn(key)
-        return fn.lower(params_sds, cache, batch).compile()
+        return fn.lower(params_sds, cache, feedback, batch).compile()
 
-    def forward(self, scheduled: list[ScheduledSeq],
-                groups: list[list[ScheduledSeq]] | None = None,
-                return_logits: bool = False):
-        """Run one step. Returns (tokens i32[dp*B_bucket], rows) — rows[i] is the
-        ScheduledSeq for row i (None for padding). The caller applies tokens to
-        requests where ``rows[i].samples_token``.
+    def forward_async(self, scheduled: list[ScheduledSeq],
+                      groups: list[list[ScheduledSeq]] | None = None,
+                      return_logits: bool = False):
+        """Dispatch one step WITHOUT waiting for the result.
+
+        Returns (tokens, rows[, logits]) where ``tokens`` is a DEVICE array
+        whose copy-to-host has been started asynchronously — call
+        ``np.asarray(jax.device_get(tokens))`` (or ``resolve_tokens``) to
+        block. Thanks to the on-device feedback buffer, the NEXT step can be
+        dispatched before this one's token values reach the host (the
+        builder reads unresolved tokens from the feedback buffer). This is
+        what hides host↔device latency on TPU (reference model.py:359 instead
+        eats a .tolist() sync every step).
         """
         if groups is None:
             assert self.dp == 1, "pass explicit dp groups when dp > 1"
@@ -193,11 +213,31 @@ class LlamaModel:
                                                self.engine_config)
         batch = jax.tree.map(jax.device_put, batch_np, self._batch_shardings)
         step = self._get_step_fn(key, return_logits)
-        out = step(self.params, self.kv_cache, batch)
+        out = step(self.params, self.kv_cache, self.token_feedback, batch)
         if return_logits:
-            tokens, self.kv_cache, logits = out
-            return np.asarray(jax.device_get(tokens)), rows, np.asarray(jax.device_get(logits))
-        tokens, self.kv_cache = out
+            tokens, self.kv_cache, self.token_feedback, logits = out
+        else:
+            tokens, self.kv_cache, self.token_feedback = out
+        try:
+            tokens.copy_to_host_async()
+        except AttributeError:
+            pass
+        if return_logits:
+            return tokens, rows, logits
+        return tokens, rows
+
+    def forward(self, scheduled: list[ScheduledSeq],
+                groups: list[list[ScheduledSeq]] | None = None,
+                return_logits: bool = False):
+        """Run one step synchronously. Returns (tokens i32[dp*B_bucket], rows)
+        — rows[i] is the ScheduledSeq for row i (None for padding). The caller
+        applies tokens to requests where ``rows[i].samples_token``."""
+        out = self.forward_async(scheduled, groups, return_logits)
+        if return_logits:
+            tokens, rows, logits = out
+            return (np.asarray(jax.device_get(tokens)), rows,
+                    np.asarray(jax.device_get(logits)))
+        tokens, rows = out
         return np.asarray(jax.device_get(tokens)), rows
 
     # --- swap (host offload) ------------------------------------------------------
@@ -237,8 +277,13 @@ class LlamaModel:
         padded[:n] = pages
         return padded, n
 
+    def _page_bytes(self) -> int:
+        mc, cfg = self.model_config, self.engine_config
+        return cfg.block_size * 2 * self.num_kv_eff * mc.head_dim * self.dtype.itemsize
+
     def swap_out_seqs(self, requests: list[Request]):
         assert self.dp == 1, "swap with dp>1 not yet supported"
+        from swiftllm_tpu.native import copy_pages
         cfg = self.engine_config
         hbm, cpu = self.hbm_block_mgrs[0], self.cpu_block_mgr
         for r in requests:
@@ -246,26 +291,28 @@ class LlamaModel:
             dst_pages = cpu.allocate_fresh_for_seq(r.seq_id, r.num_cached_tokens)
             padded, n = self._pad_pages(src_pages)
             data = self._swap_gather_fn(len(padded))(self.kv_cache, jnp.asarray(padded))
-            data = np.asarray(jax.device_get(data))[:, : n * cfg.block_size]
-            dst_slots = (dst_pages[:, None] * cfg.block_size
-                         + np.arange(cfg.block_size)[None, :]).reshape(-1)
-            self.cpu_cache[:, dst_slots] = data
+            data = np.ascontiguousarray(jax.device_get(data))
+            # Host scatter staging→swap-cache: native run-coalesced memcpy.
+            copy_pages(self.cpu_cache, data, dst_pages,
+                       np.arange(n, dtype=np.int32), self._page_bytes())
             hbm.free_seq(r.seq_id)
 
     def swap_in_seqs(self, requests: list[Request]):
         assert self.dp == 1, "swap with dp>1 not yet supported"
+        from swiftllm_tpu.native import copy_pages
         cfg = self.engine_config
         hbm, cpu = self.hbm_block_mgrs[0], self.cpu_block_mgr
         for r in requests:
             src_pages = cpu.seq_block_ids(r.seq_id).copy()
             dst_pages = hbm.allocate_fresh_for_seq(r.seq_id, r.num_cached_tokens)
-            src_slots = (src_pages[:, None] * cfg.block_size
-                         + np.arange(cfg.block_size)[None, :]).reshape(-1)
-            data = self.cpu_cache[:, src_slots]
             padded, n = self._pad_pages(dst_pages)
-            pad_data = np.zeros((data.shape[0], len(padded) * cfg.block_size)
-                                + data.shape[2:], data.dtype)
-            pad_data[:, : n * cfg.block_size] = data
+            pad_data = np.zeros((self.model_config.num_layers,
+                                 len(padded) * cfg.block_size,
+                                 self.num_kv_eff * 2 * self.model_config.head_dim),
+                                self.dtype)
+            # Host gather swap-cache→staging: native run-coalesced memcpy.
+            copy_pages(pad_data, self.cpu_cache,
+                       np.arange(n, dtype=np.int32), src_pages, self._page_bytes())
             self.kv_cache = self._swap_scatter_fn(len(padded))(
                 self.kv_cache, jnp.asarray(padded), jnp.asarray(pad_data))
             cpu.free_seq(r.seq_id)

@@ -28,7 +28,7 @@ def make_case(rng, seq_specs, *, n_q=4, n_kv=2, hd=32, page_size=8, Pg=8,
 
     num_pages = B * Pg
     S = (num_pages + 1) * page_size
-    cache = rng.normal(size=(S, 2, n_kv, hd)).astype(dtype)
+    cache = rng.normal(size=(S, n_kv, 2, hd)).astype(dtype)
     q = rng.normal(size=(T, n_q, hd)).astype(dtype)
 
     q_starts = np.full(B, T, np.int32)
@@ -52,10 +52,18 @@ def make_case(rng, seq_specs, *, n_q=4, n_kv=2, hd=32, page_size=8, Pg=8,
         cursor += cdiv(q_len, align) * align
     assert cursor <= T
 
+    # Decode rows: the fused kernel reads the new token's K/V from kv_new and
+    # writes it to kv_slots; point both at the sequence's actual last slot so
+    # the write is a no-op and the math matches the pure-cache reference.
+    kv_slots = np.zeros(T, np.int32)
+    for b, (q_len, seq_len) in enumerate(seq_specs):
+        last = seq_len - 1
+        kv_slots[b] = page_table[b, last // page_size] * page_size + last % page_size
+
     batch = StepBatch(
         token_ids=jnp.zeros(T, jnp.int32),
         positions=jnp.asarray(positions),
-        kv_slots=jnp.zeros(T, jnp.int32),
+        kv_slots=jnp.asarray(kv_slots),
         q_starts=jnp.asarray(q_starts),
         q_lens=jnp.asarray(q_lens),
         seq_lens=jnp.asarray(seq_lens),
@@ -70,10 +78,23 @@ def compare(q, cache, batch, q_bucket, atol=2e-5, max_chunk_pages=None):
                                       sm_scale=0.125, q_bucket=q_bucket)
     # The kernel takes the FULL [L, S, ...] cache plus a layer index; exercise
     # a non-zero layer to cover the slot-offset arithmetic.
-    cache3 = jnp.stack([jnp.zeros_like(cache), cache, jnp.ones_like(cache)])
-    got = ragged_paged_attention(q, cache3, jnp.int32(1), batch, page_size=8,
-                                 sm_scale=0.125, q_bucket=q_bucket,
-                                 interpret=True, max_chunk_pages=max_chunk_pages)
+    stacked = jnp.stack([jnp.zeros_like(cache), cache, jnp.ones_like(cache)])
+    S, n_kv, _, hd = cache.shape
+    cache3 = stacked.reshape(3, S, n_kv * 2 * hd)
+    if q_bucket == 1:
+        # Fused store path: kv_new = the last position's actual K/V (layer 1).
+        kv_new = cache3[1][np.asarray(batch.kv_slots)]     # [T, n_kv*2*hd]
+        got, cache_out = ragged_paged_attention(
+            q, cache3, jnp.int32(1), batch, n_kv=n_kv, page_size=8,
+            sm_scale=0.125, q_bucket=q_bucket, kv_new=kv_new,
+            interpret=True, max_chunk_pages=max_chunk_pages)
+        # The write must be a no-op here (same data back to the same slots).
+        np.testing.assert_array_equal(np.asarray(cache_out), np.asarray(cache3))
+    else:
+        got = ragged_paged_attention(
+            q, cache3, jnp.int32(1), batch, n_kv=n_kv, page_size=8,
+            sm_scale=0.125, q_bucket=q_bucket,
+            interpret=True, max_chunk_pages=max_chunk_pages)
     # Only compare real token rows; pad rows are unspecified by contract.
     q_starts = np.asarray(batch.q_starts)
     q_lens = np.asarray(batch.q_lens)
