@@ -73,6 +73,39 @@ class StepBatch:
                                     #        sampled token (pad rows → garbage)
 
 
+def unpack_step_batch(flat: jax.Array, T: int, B: int, Pg: int) -> StepBatch:
+    """Inverse of worker.batch_builder.pack_step_batch for ONE dp shard's
+    slice (static offsets — free under jit)."""
+    off = 0
+
+    def take(n):
+        nonlocal off
+        out = jax.lax.slice(flat, (off,), (off + n,))
+        off += n
+        return out
+
+    token_ids = take(T)
+    positions = take(T)
+    kv_slots = take(T)
+    feedback_read = take(T)
+    q_starts = take(B)
+    q_lens = take(B)
+    seq_lens = take(B)
+    sample_mask = take(B) != 0
+    temperature = jax.lax.bitcast_convert_type(take(B), jnp.float32)
+    top_p = jax.lax.bitcast_convert_type(take(B), jnp.float32)
+    top_k = take(B)
+    seeds = jax.lax.bitcast_convert_type(take(B), jnp.uint32)
+    feedback_write = take(B)
+    page_table = take(B * Pg).reshape(B, Pg)
+    return StepBatch(token_ids=token_ids, positions=positions, kv_slots=kv_slots,
+                     q_starts=q_starts, q_lens=q_lens, seq_lens=seq_lens,
+                     page_table=page_table, sample_mask=sample_mask,
+                     temperature=temperature, top_p=top_p, top_k=top_k,
+                     seeds=seeds, feedback_read=feedback_read,
+                     feedback_write=feedback_write)
+
+
 # ---------------------------------------------------------------------------------
 # RoPE
 # ---------------------------------------------------------------------------------
@@ -349,24 +382,27 @@ def forward_shard(
 
 
 def make_step_fn(mesh, cfg: LlamaModelConfig, *, page_size: int, q_bucket: int,
-                 use_pallas: bool, return_logits: bool = False, quant: str = "none"):
-    """Build the jitted SPMD step. KV cache and feedback buffer are donated."""
-    from swiftllm_tpu.parallel.mesh import (BATCH_SPECS, FEEDBACK_SPEC,
-                                            KV_CACHE_SPEC, param_specs)
+                 use_pallas: bool, T: int, B: int, Pg: int,
+                 return_logits: bool = False, quant: str = "none"):
+    """Build the jitted SPMD step. KV cache and feedback buffer are donated.
+    The batch arrives as ONE packed i32 buffer (see pack_step_batch) — a
+    single host→device transfer per step."""
+    from swiftllm_tpu.parallel.mesh import (FEEDBACK_SPEC, KV_CACHE_SPEC,
+                                            param_specs)
 
     PARAM_SPECS = param_specs(quant)
-    batch_specs = StepBatch(**BATCH_SPECS)
     out_specs = ((P(AXIS_DP), KV_CACHE_SPEC, FEEDBACK_SPEC)
                  + ((P(AXIS_DP, None),) if return_logits else ()))
 
-    def step(params, kv_cache, feedback, batch):
+    def step(params, kv_cache, feedback, flat_batch):
+        batch = unpack_step_batch(flat_batch, T, B, Pg)
         return forward_shard(params, kv_cache, feedback, batch, cfg=cfg,
                              page_size=page_size, q_bucket=q_bucket,
                              use_pallas=use_pallas, return_logits=return_logits)
 
     sharded = jax.shard_map(
         step, mesh=mesh,
-        in_specs=(PARAM_SPECS, KV_CACHE_SPEC, FEEDBACK_SPEC, batch_specs),
+        in_specs=(PARAM_SPECS, KV_CACHE_SPEC, FEEDBACK_SPEC, P(AXIS_DP)),
         out_specs=out_specs,
         check_vma=False,
     )

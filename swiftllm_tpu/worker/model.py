@@ -60,6 +60,7 @@ class LlamaModel:
         self._batch_shardings = StepBatch(**named(self.mesh, BATCH_SPECS))
         self._cache_sharding = NamedSharding(self.mesh, KV_CACHE_SPEC)
         self._feedback_sharding = NamedSharding(self.mesh, FEEDBACK_SPEC)
+        self._flat_batch_sharding = NamedSharding(self.mesh, P(AXIS_DP))
 
     # --- init -----------------------------------------------------------------
     def load_weights(self):
@@ -146,11 +147,12 @@ class LlamaModel:
 
     # --- the step --------------------------------------------------------------
     def _get_step_fn(self, key: BucketKey, return_logits: bool = False):
-        k = (key.q_len, return_logits)
+        k = (key, return_logits)
         if k not in self._step_fns:
             self._step_fns[k] = make_step_fn(
                 self.mesh, self.model_config, page_size=self.engine_config.block_size,
                 q_bucket=key.q_len, use_pallas=self.engine_config.use_pallas,
+                T=key.tokens, B=key.rows, Pg=key.pages,
                 return_logits=return_logits, quant=self.engine_config.quant)
         return self._step_fns[k]
 
@@ -162,27 +164,9 @@ class LlamaModel:
         cache = jax.ShapeDtypeStruct(
             self._cache_shape(num_blocks), self.dtype,
             sharding=self._cache_sharding)
-        sh = self._batch_shardings
-        batch = StepBatch(
-            token_ids=jax.ShapeDtypeStruct((dp * key.tokens,), jnp.int32, sharding=sh.token_ids),
-            positions=jax.ShapeDtypeStruct((dp * key.tokens,), jnp.int32, sharding=sh.positions),
-            kv_slots=jax.ShapeDtypeStruct((dp * key.tokens,), jnp.int32, sharding=sh.kv_slots),
-            q_starts=jax.ShapeDtypeStruct((dp * key.rows,), jnp.int32, sharding=sh.q_starts),
-            q_lens=jax.ShapeDtypeStruct((dp * key.rows,), jnp.int32, sharding=sh.q_lens),
-            seq_lens=jax.ShapeDtypeStruct((dp * key.rows,), jnp.int32, sharding=sh.seq_lens),
-            page_table=jax.ShapeDtypeStruct((dp * key.rows, key.pages), jnp.int32,
-                                            sharding=sh.page_table),
-            sample_mask=jax.ShapeDtypeStruct((dp * key.rows,), jnp.bool_,
-                                             sharding=sh.sample_mask),
-            temperature=jax.ShapeDtypeStruct((dp * key.rows,), jnp.float32,
-                                             sharding=sh.temperature),
-            top_p=jax.ShapeDtypeStruct((dp * key.rows,), jnp.float32,
-                                       sharding=sh.top_p),
-            top_k=jax.ShapeDtypeStruct((dp * key.rows,), jnp.int32,
-                                       sharding=sh.top_k),
-            seeds=jax.ShapeDtypeStruct((dp * key.rows,), jnp.uint32,
-                                       sharding=sh.seeds),
-        )
+        flat_len = dp * (4 * key.tokens + 9 * key.rows + key.rows * key.pages)
+        batch = jax.ShapeDtypeStruct((flat_len,), jnp.int32,
+                                     sharding=self._flat_batch_sharding)
         params_sds = jax.tree.map(
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding),
             self.params)
@@ -211,9 +195,11 @@ class LlamaModel:
             groups = [scheduled]
         batch_np, key, rows = build_step_batch(groups, self.hbm_block_mgrs,
                                                self.engine_config)
-        batch = jax.tree.map(jax.device_put, batch_np, self._batch_shardings)
+        from swiftllm_tpu.worker.batch_builder import pack_step_batch
+        flat = jax.device_put(pack_step_batch(batch_np, self.dp),
+                              self._flat_batch_sharding)
         step = self._get_step_fn(key, return_logits)
-        out = step(self.params, self.kv_cache, self.token_feedback, batch)
+        out = step(self.params, self.kv_cache, self.token_feedback, flat)
         if return_logits:
             tokens, self.kv_cache, self.token_feedback, logits = out
         else:
