@@ -41,6 +41,8 @@ def main():
     p.add_argument("--context", type=int, default=128, help="prefill length per seq")
     p.add_argument("--steps", type=int, default=64, help="timed decode steps")
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--block-size", type=int, default=32,
+                   help="KV page size in tokens (larger = fewer DMAs per row)")
     p.add_argument("--use-pallas", default=None, type=lambda s: s.lower() in ("1", "true"))
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
@@ -59,9 +61,9 @@ def main():
 
     total_len = args.context + args.steps + 8
     from swiftllm_tpu.utils import cdiv, next_power_of_2
-    pages_per_seq = next_power_of_2(cdiv(total_len, 16))
+    pages_per_seq = next_power_of_2(cdiv(total_len, args.block_size))
     ec = EngineConfig(
-        model_path="", use_dummy=True, dtype=args.dtype, block_size=16,
+        model_path="", use_dummy=True, dtype=args.dtype, block_size=args.block_size,
         num_hbm_blocks=args.batch * pages_per_seq,
         num_cpu_blocks=0,
         max_blocks_per_seq=pages_per_seq,

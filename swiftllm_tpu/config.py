@@ -70,7 +70,7 @@ class EngineConfig:
             buckets.append(self.max_tokens_in_batch)
             self.token_buckets = tuple(sorted(set(buckets)))
         if not self.page_buckets:
-            buckets, b = [], 16
+            buckets, b = [], 4
             while b < self.max_blocks_per_seq:
                 buckets.append(b)
                 b *= 2

@@ -429,6 +429,8 @@ def ragged_paged_attention(q, cache3, layer, batch, *, n_kv: int,
             sm_scale=sm_scale, n_q=n_q, n_kv=n_kv, hd=hd, n_rows=B)
         out, cache3 = pl.pallas_call(
             kernel, grid_spec=grid_spec,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
             out_shape=[jax.ShapeDtypeStruct((B * n_q, hd), q.dtype),
                        jax.ShapeDtypeStruct(cache3.shape, cache3.dtype)],
             # flat operand order: 5 scalar-prefetch, q=5, kv_new=6, cache=7.
@@ -468,6 +470,8 @@ def ragged_paged_attention(q, cache3, layer, batch, *, n_kv: int,
     out = pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T, n_q * hd), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*scalars, q.reshape(T, n_q * hd), cache3)
     return out.reshape(T, n_q, hd)
