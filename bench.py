@@ -43,6 +43,9 @@ def main():
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--block-size", type=int, default=32,
                    help="KV page size in tokens (larger = fewer DMAs per row)")
+    p.add_argument("--quant", default="none", choices=("none", "int8", "int4"))
+    p.add_argument("--kv-quant", default="none", choices=("none", "fp8"))
+    p.add_argument("--kv-scale", type=float, default=1.0)
     p.add_argument("--use-pallas", default=None, type=lambda s: s.lower() in ("1", "true"))
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
@@ -64,6 +67,7 @@ def main():
     pages_per_seq = next_power_of_2(cdiv(total_len, args.block_size))
     ec = EngineConfig(
         model_path="", use_dummy=True, dtype=args.dtype, block_size=args.block_size,
+        quant=args.quant, kv_quant=args.kv_quant, kv_scale=args.kv_scale,
         num_hbm_blocks=args.batch * pages_per_seq,
         num_cpu_blocks=0,
         max_blocks_per_seq=pages_per_seq,
@@ -122,9 +126,9 @@ def main():
     tok_per_s = args.batch * args.steps / dt
 
     # speed-of-light roofline
-    itemsize = 2 if args.dtype == "bfloat16" else 4
     weight_bytes = sum(x.nbytes for x in jax.tree.leaves(model.params))
-    kv_per_seq = 2 * L * model.num_kv_eff * hd * itemsize * (args.context + args.steps // 2)
+    kv_per_seq = (2 * L * model.num_kv_eff * hd * model.kv_dtype.itemsize
+                  * (args.context + args.steps // 2))
     kind = dev.device_kind.lower()
     bw = next((v for k, v in HBM_BW.items() if k in kind), HBM_BW["cpu"])
     if not on_tpu:

@@ -30,6 +30,12 @@ class EngineConfig:
     dtype: str = "bfloat16"            # activations+weights compute dtype
     quant: str = "none"                # weight quantization: none | int8 | int4
     kv_quant: str = "none"             # KV-cache quantization: none | fp8
+    kv_scale: float = 1.0              # stored-KV scale for fp8 (values are
+                                       # multiplied by this before the fp8 cast;
+                                       # reads fold 1/kv_scale into the softmax
+                                       # scale and output normalization, so it
+                                       # costs nothing). Tune so |k|,|v|*scale
+                                       # lands in e4m3's sweet spot (~0.1-100).
 
     # --- paged KV cache ---
     block_size: int = 16               # tokens per KV page (reference default 16)
@@ -62,6 +68,12 @@ class EngineConfig:
     use_pallas: bool = True            # Pallas kernels for the hot path; False = pure-jnp reference path
 
     def __post_init__(self):
+        assert self.kv_quant in ("none", "fp8")
+        if self.kv_quant == "fp8":
+            # 8-bit cache rows tile at 32 sublanes; page-granular DMAs need
+            # page offsets aligned to that tile.
+            assert self.block_size % 32 == 0, \
+                "kv_quant='fp8' requires block_size to be a multiple of 32"
         if not self.token_buckets:
             buckets, b = [], 16
             while b < self.max_tokens_in_batch:

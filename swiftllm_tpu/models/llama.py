@@ -202,7 +202,7 @@ def _ragged_paged_attention_jnp(
     # [B, K] flat slot ids of every row's KV positions.
     slot_ids = (batch.page_table[:, :, None] * page_size
                 + jnp.arange(page_size, dtype=jnp.int32)[None, None, :]).reshape(B, K)
-    kv = cache_l[slot_ids]                          # [B, K, n_kv, 2, hd]
+    kv = cache_l[slot_ids].astype(q.dtype)          # [B, K, n_kv, 2, hd]
     k, v = kv[:, :, :, 0], kv[:, :, :, 1]           # [B, K, n_kv, hd]
 
     # Dense query view: [B, Q] flat-token indices (pad → extra zero row at T).
@@ -238,32 +238,44 @@ def _ragged_paged_attention_jnp(
 # ---------------------------------------------------------------------------------
 
 def _attention_and_store(q, kv_new, cache3, layer, batch, *, n_kv,
-                         page_size, sm_scale, use_pallas, q_bucket):
+                         page_size, sm_scale, use_pallas, q_bucket,
+                         kv_scale=1.0):
     """Store this layer's fresh K‖V (kv_new [T, n_kv*2*hd], per-head
-    interleaved) into the 3-D cache [L, S, n_kv*2*hd] and run attention.
-    Returns (attn [T, n_q, hd], cache3).
+    interleaved, ALREADY multiplied by kv_scale and cast to the cache dtype)
+    into the 3-D cache [L, S, n_kv*2*hd] and run attention. Returns
+    (attn [T, n_q, hd], cache3).
+
+    kv_scale (fp8 KV): stored values are scale*true. Correcting costs nothing:
+    scores use sm_scale/kv_scale (exact through softmax since it is a
+    pre-softmax linear factor), and the output — linear in V — is divided by
+    kv_scale once at the end.
 
     Decode buckets on the Pallas path fuse the store INTO the kernel (cache
     aliased in/out) — an XLA scatter adjacent to a custom call forces
     whole-cache copies every layer. Other paths scatter first, then attend."""
     T, n_q, hd = q.shape
+    sm_eff = sm_scale / kv_scale
     if use_pallas:
         from swiftllm_tpu.ops.paged_attention import ragged_paged_attention
         if q_bucket == 1:
-            return ragged_paged_attention(
+            attn, cache3 = ragged_paged_attention(
                 q, cache3, layer, batch, n_kv=n_kv,
-                page_size=page_size, sm_scale=sm_scale, q_bucket=q_bucket,
+                page_size=page_size, sm_scale=sm_eff, q_bucket=q_bucket,
                 kv_new=kv_new)
+        else:
+            cache3 = cache3.at[layer, batch.kv_slots].set(kv_new)
+            attn = ragged_paged_attention(q, cache3, layer, batch, n_kv=n_kv,
+                                          page_size=page_size,
+                                          sm_scale=sm_eff, q_bucket=q_bucket)
+    else:
         cache3 = cache3.at[layer, batch.kv_slots].set(kv_new)
-        attn = ragged_paged_attention(q, cache3, layer, batch, n_kv=n_kv,
-                                      page_size=page_size,
-                                      sm_scale=sm_scale, q_bucket=q_bucket)
-        return attn, cache3
-    cache3 = cache3.at[layer, batch.kv_slots].set(kv_new)
-    s_local = cache3.shape[1]
-    cache_l = cache3[layer].reshape(s_local, n_kv, 2, hd)
-    attn = _ragged_paged_attention_jnp(q, cache_l, batch, page_size=page_size,
-                                       sm_scale=sm_scale, q_bucket=q_bucket)
+        s_local = cache3.shape[1]
+        cache_l = cache3[layer].reshape(s_local, n_kv, 2, hd)
+        attn = _ragged_paged_attention_jnp(q, cache_l, batch,
+                                           page_size=page_size,
+                                           sm_scale=sm_eff, q_bucket=q_bucket)
+    if kv_scale != 1.0:
+        attn = attn / jnp.asarray(kv_scale, attn.dtype)   # undo V scaling
     return attn, cache3
 
 
@@ -277,6 +289,7 @@ def forward_shard(
     page_size: int,
     q_bucket: int,
     use_pallas: bool,
+    kv_scale: float = 1.0,
     return_logits: bool = False,
 ):
     """Per-shard SPMD body. Runs inside shard_map; collectives over "tp".
@@ -331,12 +344,16 @@ def forward_shard(
         q = apply_rope(q, batch.positions, inv_freq)
         k = apply_rope(k, batch.positions, inv_freq)
 
-        # Per-head-interleaved K‖V lanes: [k_0, v_0, k_1, v_1, ...].
+        # Per-head-interleaved K‖V lanes: [k_0, v_0, k_1, v_1, ...]; scaled
+        # and cast to the cache dtype here (fp8 when kv_quant is on).
         kv_new = jnp.stack([k, v], axis=2).reshape(T, n_kv_l * 2 * hd)
+        if kv_scale != 1.0:
+            kv_new = kv_new * jnp.asarray(kv_scale, kv_new.dtype)
+        kv_new = kv_new.astype(cache.dtype)
         attn, cache = _attention_and_store(
             q, kv_new, cache, l, batch, n_kv=n_kv_l,
             page_size=page_size, sm_scale=sm_scale, use_pallas=use_pallas,
-            q_bucket=q_bucket)
+            q_bucket=q_bucket, kv_scale=kv_scale)
         attn = attn.reshape(T, n_q_l * hd)
         x = x + psum_tp(proj(attn, w["wo"]))
 
@@ -383,7 +400,8 @@ def forward_shard(
 
 def make_step_fn(mesh, cfg: LlamaModelConfig, *, page_size: int, q_bucket: int,
                  use_pallas: bool, T: int, B: int, Pg: int,
-                 return_logits: bool = False, quant: str = "none"):
+                 return_logits: bool = False, quant: str = "none",
+                 kv_scale: float = 1.0):
     """Build the jitted SPMD step. KV cache and feedback buffer are donated.
     The batch arrives as ONE packed i32 buffer (see pack_step_batch) — a
     single host→device transfer per step."""
@@ -398,7 +416,8 @@ def make_step_fn(mesh, cfg: LlamaModelConfig, *, page_size: int, q_bucket: int,
         batch = unpack_step_batch(flat_batch, T, B, Pg)
         return forward_shard(params, kv_cache, feedback, batch, cfg=cfg,
                              page_size=page_size, q_bucket=q_bucket,
-                             use_pallas=use_pallas, return_logits=return_logits)
+                             use_pallas=use_pallas, kv_scale=kv_scale,
+                             return_logits=return_logits)
 
     sharded = jax.shard_map(
         step, mesh=mesh,

@@ -128,7 +128,7 @@ def _flash_inner(q2, kv_buf, start_next, wait_chunk, *, num_chunks, q_pos,
             kh = kv2[:, h * 2 * hd:h * 2 * hd + hd]         # [chunk, hd]
             vh = kv2[:, h * 2 * hd + hd:(h + 1) * 2 * hd]
             s = jax.lax.dot_general(
-                qi.astype(kh.dtype), kh, (((1,), (1,)), ((), ())),
+                qi, kh.astype(qi.dtype), (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * sm_scale
             s = jnp.where(valid, s, NEG_INF)
 
@@ -137,7 +137,8 @@ def _flash_inner(q2, kv_buf, start_next, wait_chunk, *, num_chunks, q_pos,
             scale = jnp.exp(m[i] - mi)
             li = l[i] * scale + jnp.sum(p, axis=-1, keepdims=True)
             ai = acc[i] * scale + jax.lax.dot_general(
-                p.astype(vh.dtype), vh, (((1,), (0,)), ((), ())),
+                p.astype(q2.dtype), vh.astype(q2.dtype),
+                (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             new_m.append(mi)
             new_l.append(li)
@@ -253,7 +254,7 @@ def _decode_kernel(
                 kh = kv2[:, h * 2 * hd:h * 2 * hd + hd]     # [chunk, hd]
                 vh = kv2[:, h * 2 * hd + hd:(h + 1) * 2 * hd]
                 s = jax.lax.dot_general(
-                    qh.astype(kh.dtype), kh, (((1,), (1,)), ((), ())),
+                    qh, kh.astype(qh.dtype), (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32) * sm_scale
                 s = jnp.where(valid, s, NEG_INF)            # [group, chunk]
 
@@ -262,7 +263,8 @@ def _decode_kernel(
                 scale = jnp.exp(m[h] - mi)
                 li = l[h] * scale + jnp.sum(p, axis=-1, keepdims=True)
                 ai = acc[h] * scale + jax.lax.dot_general(
-                    p.astype(vh.dtype), vh, (((1,), (0,)), ((), ())),
+                    p.astype(q.dtype), vh.astype(q.dtype),
+                    (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
                 new_m.append(mi)
                 new_l.append(li)

@@ -48,6 +48,8 @@ class LlamaModel:
         self.num_kv_eff = effective_num_kv_heads(self.model_config, self.tp)
 
         self.dtype = jnp.dtype(engine_config.dtype)
+        self.kv_dtype = (jnp.dtype(jnp.float8_e4m3fn)
+                         if engine_config.kv_quant == "fp8" else self.dtype)
         self.params = None
         self.kv_cache = None          # [L, dp*S_local, 2, n_kv, hd], donated each step
         self.token_feedback = None    # i32[dp*(max_seqs+1)] last sample per seq slot
@@ -102,7 +104,7 @@ class LlamaModel:
 
         mc = self.model_config
         block_bytes = (2 * mc.num_layers * self.num_kv_eff * mc.head_dim
-                       * self.dtype.itemsize * cfg.block_size
+                       * self.kv_dtype.itemsize * cfg.block_size
                        // self.tp)  # per-shard pages hold n_kv_eff/tp heads
         usable = int(limit * cfg.hbm_mem_utilization) - in_use - temp
         num = usable // (block_bytes * 1)
@@ -120,7 +122,7 @@ class LlamaModel:
         self.num_blocks_per_shard = num_blocks_per_shard
         shape = self._cache_shape(num_blocks_per_shard)
         self.kv_cache = jax.jit(
-            lambda: jnp.zeros(shape, self.dtype),
+            lambda: jnp.zeros(shape, self.kv_dtype),
             out_shardings=self._cache_sharding)()
         fb_local = cfg.max_seqs_in_block_table + 1   # +1 garbage slot
         self.token_feedback = jax.jit(
@@ -137,7 +139,7 @@ class LlamaModel:
             self.cpu_cache = np.zeros(
                 (mc.num_layers, cfg.num_cpu_blocks * cfg.block_size,
                  self.num_kv_eff * 2 * mc.head_dim),
-                dtype=self.dtype)
+                dtype=self.kv_dtype)
 
     @property
     def num_hbm_blocks(self) -> int:
@@ -153,7 +155,8 @@ class LlamaModel:
                 self.mesh, self.model_config, page_size=self.engine_config.block_size,
                 q_bucket=key.q_len, use_pallas=self.engine_config.use_pallas,
                 T=key.tokens, B=key.rows, Pg=key.pages,
-                return_logits=return_logits, quant=self.engine_config.quant)
+                return_logits=return_logits, quant=self.engine_config.quant,
+                kv_scale=self.engine_config.kv_scale)
         return self._step_fns[k]
 
     def _lower(self, key: BucketKey, num_blocks: int):
@@ -162,7 +165,7 @@ class LlamaModel:
         dp = self.dp
         s_local = (num_blocks + 1) * cfg.block_size
         cache = jax.ShapeDtypeStruct(
-            self._cache_shape(num_blocks), self.dtype,
+            self._cache_shape(num_blocks), self.kv_dtype,
             sharding=self._cache_sharding)
         flat_len = dp * (4 * key.tokens + 9 * key.rows + key.rows * key.pages)
         batch = jax.ShapeDtypeStruct((flat_len,), jnp.int32,
@@ -265,7 +268,8 @@ class LlamaModel:
 
     def _page_bytes(self) -> int:
         mc, cfg = self.model_config, self.engine_config
-        return cfg.block_size * 2 * self.num_kv_eff * mc.head_dim * self.dtype.itemsize
+        return (cfg.block_size * 2 * self.num_kv_eff * mc.head_dim
+                * self.kv_dtype.itemsize)
 
     def swap_out_seqs(self, requests: list[Request]):
         assert self.dp == 1, "swap with dp>1 not yet supported"
@@ -295,7 +299,7 @@ class LlamaModel:
             pad_data = np.zeros((self.model_config.num_layers,
                                  len(padded) * cfg.block_size,
                                  self.num_kv_eff * 2 * self.model_config.head_dim),
-                                self.dtype)
+                                self.kv_dtype)
             # Host gather swap-cache→staging: native run-coalesced memcpy.
             copy_pages(pad_data, self.cpu_cache,
                        np.arange(n, dtype=np.int32), src_pages, self._page_bytes())

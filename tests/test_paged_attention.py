@@ -156,3 +156,27 @@ def test_large_tile_partial():
     rng = np.random.default_rng(7)
     case = make_case(rng, [(130, 130), (1, 40)], Pg=32, q_bucket=256)
     compare(*case)
+
+
+def test_fp8_cache_decode():
+    # Kernel handles an fp8 cache: upcasts K/V to the query dtype internally.
+    rng = np.random.default_rng(8)
+    q, cache, batch, qb = make_case(rng, [(1, 9), (1, 33), (1, 64)])
+    cache_q = jnp.asarray(cache).astype(jnp.float8_e4m3fn)
+    ref = _ragged_paged_attention_jnp(q, cache_q, batch, page_size=8,
+                                      sm_scale=0.125, q_bucket=qb)
+    S, n_kv, _, hd = cache.shape
+    stacked = jnp.stack([jnp.zeros_like(cache_q), cache_q,
+                         jnp.zeros_like(cache_q)])
+    cache3 = stacked.reshape(3, S, n_kv * 2 * hd)
+    kv_new = cache3[1][np.asarray(batch.kv_slots)]
+    got, cache_out = ragged_paged_attention(
+        q, cache3, jnp.int32(1), batch, n_kv=n_kv, page_size=8,
+        sm_scale=0.125, q_bucket=qb, kv_new=kv_new, interpret=True)
+    assert cache_out.dtype == jnp.float8_e4m3fn
+    for b in range(len(np.asarray(batch.q_lens))):
+        if batch.q_lens[b] == 0:
+            continue
+        sl = slice(int(batch.q_starts[b]), int(batch.q_starts[b] + batch.q_lens[b]))
+        np.testing.assert_allclose(np.asarray(got[sl]), np.asarray(ref[sl]),
+                                   atol=5e-4, rtol=1e-3)
