@@ -63,9 +63,19 @@ class EngineConfig:
     # --- serving ---
     max_output_len: int = 4096
     eos_stop: bool = True              # stop on EOS token (reference has no EOS handling, structs.py:57)
+    pipeline_depth: int = 8            # max dispatched steps with unresolved token
+                                       # values; sized so depth*step_time covers the
+                                       # device→host copy latency (EOS can overshoot
+                                       # by up to this many speculative tokens)
 
     # --- kernels ---
     use_pallas: bool = True            # Pallas kernels for the hot path; False = pure-jnp reference path
+
+    # --- compilation ---
+    compilation_cache_dir: str = "~/.cache/swiftllm_tpu/xla"
+    # Persistent XLA compilation cache: step-program compiles (tens of seconds
+    # per bucket on TPU) are paid once per machine, not once per process.
+    # Set to "" to disable.
 
     def __post_init__(self):
         assert self.kv_quant in ("none", "fp8")

@@ -65,11 +65,16 @@ class Engine:
         self.eos_ids: set[int] = (self.model_config.eos_token_ids()
                                   if engine_config.eos_stop else set())
 
+        import collections
         self.untokenized_raw_requests: list[tuple[Request, str]] = []
-        self._pending_step = None   # dispatched step awaiting token resolution
+        self._pending_steps = collections.deque()   # dispatched, values pending
         self._work_event = asyncio.Event()
         self._model_executor = ThreadPoolExecutor(max_workers=1,
                                                   thread_name_prefix="model-step")
+        # Token resolution blocks on the device→host copy (~RTT); it must not
+        # occupy the dispatch thread or the pipeline serializes on it.
+        self._resolve_executor = ThreadPoolExecutor(max_workers=1,
+                                                    thread_name_prefix="resolve")
         self.stats = EngineStats()
         self._crashed: BaseException | None = None
 
@@ -231,8 +236,9 @@ class Engine:
         tokens_dev, entries, t_dispatch = pending
         import jax
         import numpy as np
-        tokens = await self._run_on_model_async(
-            lambda t: np.asarray(jax.device_get(t)), tokens_dev)
+        loop = asyncio.get_running_loop()
+        tokens = await loop.run_in_executor(
+            self._resolve_executor, lambda: np.asarray(jax.device_get(tokens_dev)))
         self.stats.total_step_time += time.perf_counter() - t_dispatch
         for r, pos, i in entries:
             if r.aborted or pos >= len(r.output_token_ids):
@@ -248,18 +254,30 @@ class Engine:
                 r.finished_event.set()
                 self.stats.num_requests_finished += 1
 
+    async def _drain_pipeline(self):
+        while self._pending_steps:
+            await self._resolve(self._pending_steps.popleft())
+
+    @staticmethod
+    def _tokens_ready(pending) -> bool:
+        try:
+            return bool(pending[0].is_ready())
+        except AttributeError:   # CPU backend arrays may lack is_ready
+            return True
+
     async def _step(self) -> bool:
-        """One engine iteration, pipelined: dispatch step N, then resolve step
-        N-1's tokens while N runs on the device. The on-device feedback buffer
-        lets step N consume step N-1's samples without the host round-trip."""
+        """One engine iteration, pipelined up to ``pipeline_depth`` steps deep:
+        keep dispatching (the on-device feedback buffer feeds step N's samples
+        to step N+1 with no host round-trip) and resolve token VALUES
+        opportunistically once their async device→host copies land. On a
+        high-latency host↔chip link the resolve RTT spans several step times;
+        a 1-deep pipeline would serialize on it."""
         self._reap_terminal()
         decision = self.scheduler.get_next_batch()
 
         if decision.swap_out:
             # Swaps synchronize with the device; resolve the pipeline first.
-            if self._pending_step is not None:
-                await self._resolve(self._pending_step)
-                self._pending_step = None
+            await self._drain_pipeline()
             await self._run_on_model_async(self.model.swap_out_seqs, decision.swap_out)
             self.scheduler.on_swap_out_done(decision.swap_out)
             for r in decision.swap_out:
@@ -271,21 +289,30 @@ class Engine:
             for r in decision.swap_in:
                 r.swapped = False
 
-        pending_new = None
-        if decision.batch:
-            pending_new = await self._run_on_model_async(self._dispatch, decision.batch)
-
         progressed = bool(decision.batch or decision.swap_in or decision.swap_out)
-        if self._pending_step is not None:
-            await self._resolve(self._pending_step)
+        if decision.batch:
+            self._pending_steps.append(
+                await self._run_on_model_async(self._dispatch, decision.batch))
+
+        # Resolve: force the head while the pipeline is over-full, drain
+        # everything whose copy already landed, and block on the head when
+        # there is nothing else to keep the device busy with.
+        depth = self.engine_config.pipeline_depth
+        while len(self._pending_steps) > depth:
+            await self._resolve(self._pending_steps.popleft())
             progressed = True
-        self._pending_step = pending_new
+        while self._pending_steps and self._tokens_ready(self._pending_steps[0]):
+            await self._resolve(self._pending_steps.popleft())
+            progressed = True
+        if not decision.batch and self._pending_steps:
+            await self._resolve(self._pending_steps.popleft())
+            progressed = True
         return progressed
 
     async def _main_event_loop(self):
         while True:
             progressed = await self._step()
-            if (not progressed and self._pending_step is None
+            if (not progressed and not self._pending_steps
                     and not self.scheduler.has_pending()):
                 await self._wait_for_work()
             else:

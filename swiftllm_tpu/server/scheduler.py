@@ -80,6 +80,7 @@ class Scheduler:
         self.swapped_q: deque[Request] = deque()
         self.num_free_cpu_blocks = engine_config.num_cpu_blocks
         self.request_id_manager = RequestIdManager(engine_config.max_seqs_in_block_table)
+        self._last_step_prefill = False   # alternate prefill/decode steps under load
 
     # --- helpers ---------------------------------------------------------------
     def _blocks_for_len(self, n_tokens: int) -> int:
@@ -164,44 +165,42 @@ class Scheduler:
         return ScheduleDecision(batch=batch, swap_in=swap_in, swap_out=swap_out)
 
     def _build_mixed_batch(self, blocks_used: int, allow_admission: bool) -> list[ScheduledSeq]:
-        """SARATHI-style: decodes from every running seq + prefill chunks up to the
-        flat token budget."""
+        """Chunked-prefill scheduling with SEPARATED step kinds: when any
+        prefill-stage work exists (in-flight chunks or admissible prompts),
+        emit a prefill-chunk-only batch; otherwise one decode token per running
+        seq. Chunking still bounds decode stalls to one chunk-step (the SARATHI
+        goal), and each step kind hits its efficient attention path — mixing
+        them in one token batch forces every 1-token decode row to pad to the
+        prefill q-tile (128 tokens of dead compute per decode row)."""
         cfg = self.engine_config
         batch: list[ScheduledSeq] = []
         token_budget = cfg.max_tokens_in_batch
 
-        # (a) one token per running decode-stage seq; placeholder 0 for prefill-stage.
-        prefill_stage: list[ScheduledSeq] = []
-        for r in self.running_q:
-            if r.is_prefill_stage():
-                s = ScheduledSeq(r, 0)
-                prefill_stage.append(s)
-                batch.append(s)
-            else:
-                batch.append(ScheduledSeq(r, 1))
-                token_budget -= 1
+        # Alternate under load: after a prefill step, give decodes a turn.
+        decode_rows = [r for r in self.running_q if not r.is_prefill_stage()]
+        if self._last_step_prefill and decode_rows:
+            self._last_step_prefill = False
+            return [ScheduledSeq(r, 1) for r in decode_rows]
 
-        # (b) grow in-flight prefill chunks, FCFS. `blocks_used` already counts a
-        #     +1-token reservation per running seq; a chunk of n tokens may need
-        #     pages beyond that reservation.
-        for s in prefill_stage:
-            if token_budget <= 0:
-                break
-            n = min(s.request.num_uncached_tokens(), cfg.prefill_chunk_size, token_budget)
-            reserved = self._blocks_after(s.request, 1)
-            extra = self._blocks_after(s.request, n) - reserved
+        # (a) grow in-flight prefill chunks, FCFS.
+        for r in self.running_q:
+            if not r.is_prefill_stage() or token_budget <= 0:
+                continue
+            n = min(r.num_uncached_tokens(), cfg.prefill_chunk_size, token_budget)
+            extra = self._blocks_after(r, n) - self._blocks_after(r, 1)
             if blocks_used + extra > self.num_hbm_blocks:
                 # Shrink the chunk to what fits in the pages we can actually get.
-                avail_pages = reserved + max(0, self.num_hbm_blocks - blocks_used)
-                n = min(n, avail_pages * cfg.block_size - s.request.num_cached_tokens)
+                avail_pages = (self._blocks_after(r, 1)
+                               + max(0, self.num_hbm_blocks - blocks_used))
+                n = min(n, avail_pages * cfg.block_size - r.num_cached_tokens)
                 if n <= 0:
                     continue
-                extra = self._blocks_after(s.request, n) - reserved
-            s.n_tokens = n
+                extra = self._blocks_after(r, n) - self._blocks_after(r, 1)
+            batch.append(ScheduledSeq(r, n))
             token_budget -= n
             blocks_used += extra
 
-        # (c) admit new requests, FCFS, while rows/tokens/pages remain.
+        # (b) admit new requests, FCFS, while rows/tokens/pages remain.
         if allow_admission:
             while self.waiting_q and token_budget > 0:
                 cand = self.waiting_q[0]
@@ -212,6 +211,7 @@ class Scheduler:
                 ever_fits = self._blocks_for_len(cand.prompt_len + 1) <= self.num_hbm_blocks
                 if (not ever_fits
                         or len(self.running_q) + 1 > cfg.max_batch_size
+                        or len(batch) + 1 > cfg.max_batch_size
                         or blocks_used + need > self.num_hbm_blocks
                         or n < min(cand.prompt_len, cfg.prefill_chunk_size)):
                     break   # strict FCFS: don't skip ahead
@@ -222,7 +222,11 @@ class Scheduler:
                 token_budget -= n
                 blocks_used += need
 
-        return [s for s in batch if s.n_tokens > 0]
+        if batch:
+            self._last_step_prefill = True
+            return batch   # prefill-chunk step
+        self._last_step_prefill = False
+        return [ScheduledSeq(r, 1) for r in decode_rows]
 
     def _build_reference_style_batch(self, blocks_used: int,
                                      allow_admission: bool) -> list[ScheduledSeq]:

@@ -34,10 +34,25 @@ from swiftllm_tpu.worker.batch_builder import BucketKey, build_step_batch
 from swiftllm_tpu.worker.block_manager import BlockManager
 
 
+def _enable_compilation_cache(cache_dir: str):
+    """Best-effort persistent XLA compile cache (huge win for serving
+    restarts: every bucket's step program compiles once per machine)."""
+    import os
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser(cache_dir))
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:   # unsupported backend / read-only fs: run uncached
+        pass
+
+
 class LlamaModel:
     def __init__(self, engine_config: EngineConfig,
                  model_config: LlamaModelConfig | None = None, mesh=None):
         self.engine_config = engine_config
+        if engine_config.compilation_cache_dir:
+            _enable_compilation_cache(engine_config.compilation_cache_dir)
         self.model_config = model_config or LlamaModelConfig.load_from_model_path(
             engine_config.model_path)
         self.mesh = mesh if mesh is not None else make_mesh(

@@ -63,7 +63,9 @@ def test_chunked_prefill_spans_steps():
     assert r.is_finished()           # last chunk sampled the single output token
 
 
-def test_decode_piggybacks_with_prefill():
+def test_prefill_and_decode_steps_alternate():
+    """Chunked prefill bounds decode stalls: after a prefill step, running
+    decodes get the next step before the new prompt's chunks continue."""
     sched = make_sched()
     a = make_req(4, output_len=8)
     sched.on_requests_arrival([a])
@@ -73,10 +75,19 @@ def test_decode_piggybacks_with_prefill():
     # a is now decoding; a long prompt arrives
     b = make_req(16, output_len=1)
     sched.on_requests_arrival([b])
-    d = sched.get_next_batch()
+    d = sched.get_next_batch()       # decode turn (previous step was prefill)
     per_req = {s.request: s.n_tokens for s in d.batch}
-    assert per_req[a] == 1           # decode token rides along
-    assert per_req[b] == 8           # first chunk of b
+    assert per_req == {a: 1}
+    simulate_step(d)
+    sched.on_batch_finish(d.batch)
+    d = sched.get_next_batch()       # now b's first chunk
+    per_req = {s.request: s.n_tokens for s in d.batch}
+    assert per_req == {b: 8}
+    simulate_step(d)
+    sched.on_batch_finish(d.batch)
+    d = sched.get_next_batch()       # alternation: decode again
+    per_req = {s.request: s.n_tokens for s in d.batch}
+    assert per_req == {a: 1}
 
 
 def test_token_budget_respected():
