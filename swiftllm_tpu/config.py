@@ -63,6 +63,8 @@ class EngineConfig:
     # --- serving ---
     max_output_len: int = 4096
     eos_stop: bool = True              # stop on EOS token (reference has no EOS handling, structs.py:57)
+    warmup_at_init: bool = False       # pre-compile the core step programs at
+                                       # engine startup (see Engine.warmup)
     pipeline_depth: int = 8            # max dispatched steps with unresolved token
                                        # values; sized so depth*step_time covers the
                                        # device→host copy latency (EOS can overshoot

@@ -93,6 +93,32 @@ class Engine:
             cfg.model_path, backend=tokenizer_backend, use_dummy=cfg.use_dummy,
             vocab_size=self.model_config.vocab_size)
         self.initialized = True
+        if cfg.warmup_at_init:
+            await self.warmup()
+
+    async def warmup(self, bucket_keys=None):
+        """Pre-compile the serving working set of step programs (and seed the
+        persistent compile cache). Per-bucket compiles cost tens of seconds on
+        TPU; paying them at startup instead of on the first unlucky request
+        keeps production TTFT sane."""
+        from swiftllm_tpu.utils import next_power_of_2
+        from swiftllm_tpu.worker.batch_builder import BucketKey
+        cfg = self.engine_config
+        if bucket_keys is None:
+            rows = next_power_of_2(cfg.max_batch_size)
+            q_chunk = next_power_of_2(min(cfg.prefill_chunk_size,
+                                          cfg.max_tokens_in_batch))
+            bucket_keys = [
+                # decode at full batch
+                BucketKey(tokens=rows, rows=rows, pages=cfg.page_buckets[0],
+                          q_len=1),
+                # one full prefill chunk
+                BucketKey(tokens=next_power_of_2(q_chunk), rows=rows,
+                          pages=cfg.page_buckets[0], q_len=q_chunk),
+            ]
+        for key in bucket_keys:
+            await self._run_on_model_async(
+                self.model._lower, key, self.model.num_blocks_per_shard)
 
     # --- request entry points (reference engine.py:65-87) ----------------------
     def _submit(self, raw_request: RawRequest) -> Request:

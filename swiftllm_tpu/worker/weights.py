@@ -37,11 +37,15 @@ def _torch_to_numpy(t) -> np.ndarray:
 
 def _dummy_getter(model_config: LlamaModelConfig, dtype) -> Callable[[str, tuple], np.ndarray]:
     """uniform(-1e-3, 1e-3) random weights, no checkpoint needed
-    (reference weight.py:215-218)."""
+    (reference weight.py:215-218). Generated in f32 via rng.random — f64
+    uniform() doubles memory traffic and is ~3x slower at 8B scale."""
     rng = np.random.default_rng(0)
 
     def get(name: str, shape: tuple) -> np.ndarray:
-        return rng.uniform(-1e-3, 1e-3, size=shape).astype(dtype)
+        w = rng.random(size=shape, dtype=np.float32)
+        w -= 0.5
+        w *= 2e-3
+        return w.astype(dtype, copy=False)
     return get
 
 
