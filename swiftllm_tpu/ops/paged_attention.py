@@ -53,6 +53,12 @@ NEG_INF = -1e30
 DECODE_ROW_TILE = 16
 
 
+def _wait_page_write(cache_out, w_buf, sem, layer, page_size):
+    # Shape-equivalent reconstruction to wait on the deferred write DMA.
+    pltpu.make_async_copy(
+        w_buf, cache_out.at[layer, pl.ds(0, page_size)], sem).wait()
+
+
 def _make_chunk_io(cache_hbm, layer, page_table_ref, kv_buf, kv_sems, *,
                    page_size: int, chunk_pages: int):
     """Per-page async-copy helpers for one row's KV chunks.
@@ -156,7 +162,7 @@ def _decode_kernel(
     cache_in,       # [L*S, 2*n_kv*hd] HBM (aliased with cache_out)
     o_ref,          # VMEM block [n_q, hd]
     cache_out,      # aliased HBM output — the kernel writes kv_new here
-    kv_buf, kv_sems, w_buf, w_sem, ctr_ref,
+    kv_buf, kv_sems, w_buf, w_sem, ww_sem, ctr_ref, wpend_ref,
     *, page_size, chunk_pages, sm_scale, n_q, n_kv, hd, n_rows,
 ):
     """One grid step per decode row, with the KV-cache update fused in.
@@ -191,6 +197,7 @@ def _decode_kernel(
     @pl.when(b == 0)
     def _():
         ctr_ref[0] = 0
+        wpend_ref[0] = 0
         start_chunk(0, 0, 0, pl.cdiv(seq_lens_ref[0] - 1, page_size))
 
     base = ctr_ref[0]
@@ -205,6 +212,14 @@ def _decode_kernel(
         # the page read now; merge + write back after attention (by then every
         # read of this page — ours included — has completed, and no other row
         # ever touches this page).
+        # The previous row's write-back DMA reads w_buf; it must land before
+        # this row's page read overwrites the buffer. Its wait is deferred to
+        # here so the write overlaps the previous row's tail instead of
+        # stalling it.
+        @pl.when(wpend_ref[0] == 1)
+        def _():
+            _wait_page_write(cache_out, w_buf, ww_sem, layer, page_size)
+            wpend_ref[0] = 0
         w_page = kv_slots_ref[b] // page_size
         w_read = pltpu.make_async_copy(
             cache_in.at[layer, pl.ds(w_page * page_size, page_size)], w_buf, w_sem)
@@ -290,17 +305,23 @@ def _decode_kernel(
         o_ref[...] = out.astype(o_ref.dtype)
         ctr_ref[0] = jax.lax.rem(base + nc, 2)
 
-        # Merge the new K/V row into the page and write it back.
+        # Merge the new K/V row into the page and write it back. The wait is
+        # deferred: the next row (or the last-row epilogue) consumes it.
         w_read.wait()
         w_off = kv_slots_ref[b] % page_size
         page_tile = w_buf[...]                              # [page_size, lanes]
         sub_iota = jax.lax.broadcasted_iota(jnp.int32, (page_size, 1), 0)
         w_buf[...] = jnp.where(sub_iota == w_off,
                                kv_new.astype(w_buf.dtype), page_tile)
-        w_write = pltpu.make_async_copy(
-            w_buf, cache_out.at[layer, pl.ds(w_page * page_size, page_size)], w_sem)
-        w_write.start()
-        w_write.wait()
+        pltpu.make_async_copy(
+            w_buf, cache_out.at[layer, pl.ds(w_page * page_size, page_size)],
+            ww_sem).start()
+        wpend_ref[0] = 1
+
+        @pl.when(jnp.logical_not(next_valid))
+        def _():   # last valid row: the write must complete before kernel exit
+            _wait_page_write(cache_out, w_buf, ww_sem, layer, page_size)
+            wpend_ref[0] = 0
 
 
 def _tiles_kernel(
@@ -422,8 +443,10 @@ def ragged_paged_attention(q, cache3, layer, batch, *, n_kv: int,
                 pltpu.VMEM((2, chunk_pages, page_size, 2 * n_kv * hd), cache3.dtype),
                 pltpu.SemaphoreType.DMA((2, chunk_pages)),
                 pltpu.VMEM((page_size, 2 * n_kv * hd), cache3.dtype),  # w_buf
-                pltpu.SemaphoreType.DMA,                 # kv page RMW
-                pltpu.SMEM((1,), jnp.int32),
+                pltpu.SemaphoreType.DMA,                 # page read
+                pltpu.SemaphoreType.DMA,                 # page write (deferred)
+                pltpu.SMEM((1,), jnp.int32),             # chunk-slot parity
+                pltpu.SMEM((1,), jnp.int32),             # write pending flag
             ],
         )
         kernel = functools.partial(
