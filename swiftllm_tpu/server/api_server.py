@@ -92,12 +92,27 @@ async def generate(request: web.Request) -> web.StreamResponse:
     return web.json_response(result)
 
 
+async def profile_start(request: web.Request) -> web.Response:
+    engine: Engine = request.app["engine"]
+    payload = await request.json() if request.can_read_body else {}
+    engine.start_profile(payload.get("dir", "/tmp/swiftllm_tpu_trace"))
+    return web.Response(status=200)
+
+
+async def profile_stop(request: web.Request) -> web.Response:
+    engine: Engine = request.app["engine"]
+    engine.stop_profile()
+    return web.Response(status=200)
+
+
 def build_app(engine: Engine) -> web.Application:
     app = web.Application()
     app["engine"] = engine
     app.router.add_get("/health", health)
     app.router.add_get("/stats", stats)
     app.router.add_post("/generate", generate)
+    app.router.add_post("/profile/start", profile_start)
+    app.router.add_post("/profile/stop", profile_stop)
     return app
 
 

@@ -165,6 +165,19 @@ class Engine:
         req.aborted = True
         self._work_event.set()
 
+    # --- profiling (the reference has no tracer, SURVEY.md §5.1) ---------------
+    def start_profile(self, trace_dir: str):
+        """Begin a jax.profiler trace of the serving loop (device + host)."""
+        import jax
+        jax.profiler.start_trace(trace_dir)
+        self._profiling = True
+
+    def stop_profile(self):
+        import jax
+        if getattr(self, "_profiling", False):
+            jax.profiler.stop_trace()
+            self._profiling = False
+
     # --- event loops (reference engine.py:89-171) -------------------------------
     async def _tokenize_event_loop(self):
         while True:

@@ -191,3 +191,46 @@ def test_swap_out_in_preserves_generation(tiny_ckpt):
         tokens, rows = m.forward([ScheduledSeq(r, 1)])
         apply(tokens, rows)
     assert r.output_token_ids == hf_greedy(hf_model, p, 8)
+
+
+@pytest.fixture(scope="module")
+def llama3_ckpt(tmp_path_factory):
+    """Tiny model with llama3-style rope scaling + tied embeddings (the
+    reference's 'llama3.2' special-casing, weight.py:157-213)."""
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    path = tmp_path_factory.mktemp("tiny_llama3")
+    cfg = LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, rms_norm_eps=1e-5, rope_theta=50000.0,
+        tie_word_embeddings=True,
+        rope_scaling={"rope_type": "llama3", "factor": 2.0,
+                      "low_freq_factor": 1.0, "high_freq_factor": 4.0,
+                      "original_max_position_embeddings": 128})
+    torch.manual_seed(1)
+    model = LlamaForCausalLM(cfg).eval()
+    model.save_pretrained(path, safe_serialization=True)
+    return str(path), model, cfg
+
+
+def test_llama3_rope_and_tied_embeddings_match_hf(llama3_ckpt):
+    path, hf, cfg = llama3_ckpt
+    m = make_model(path)
+    prompt = [(7 * i + 3) % 128 for i in range(20)]
+    want = hf_greedy(hf, prompt, 8)
+
+    r = Request(RawRequest("", 8))
+    r.set_prompt_token_ids(list(prompt))
+    r.seq_id = 0
+    sched = [ScheduledSeq(r, len(prompt))]
+    got = []
+    for _ in range(8):
+        tokens, rows = m.forward(sched)
+        tok = int(tokens[0])
+        got.append(tok)
+        r.output_token_ids.append(tok)
+        r.num_cached_tokens += sched[0].n_tokens
+        sched = [ScheduledSeq(r, 1)]
+    assert got == want
