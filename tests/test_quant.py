@@ -70,3 +70,55 @@ def test_quantized_model_logits_close(quant, min_cos):
     q = _forward_logits(quant)
     cos = float(np.dot(base, q) / (np.linalg.norm(base) * np.linalg.norm(q)))
     assert cos > min_cos, f"{quant}: cosine {cos}"
+
+
+@pytest.fixture(scope="module")
+def real_tiny_ckpt(tmp_path_factory):
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+    path = tmp_path_factory.mktemp("ppl_llama")
+    cfg = LlamaConfig(vocab_size=128, hidden_size=64, intermediate_size=128,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=2, max_position_embeddings=256,
+                      rms_norm_eps=1e-5, tie_word_embeddings=False)
+    torch.manual_seed(3)
+    LlamaForCausalLM(cfg).eval().save_pretrained(path, safe_serialization=True)
+    return str(path)
+
+
+def _perplexity(path, quant, token_ids):
+    """Stepwise next-token perplexity of our model on a fixed sequence."""
+    from swiftllm_tpu.worker.model import LlamaModel
+    ec = EngineConfig(model_path=path, dtype="float32", quant=quant,
+                      block_size=4, num_hbm_blocks=64, num_cpu_blocks=0,
+                      max_blocks_per_seq=32, max_tokens_in_batch=64,
+                      prefill_chunk_size=16, max_seqs_in_block_table=8,
+                      use_pallas=False)
+    model = LlamaModel(ec)
+    model.load_weights()
+    model.init_kvcache_and_swap()
+
+    r = Request(RawRequest("", 1))
+    nll, count = 0.0, 0
+    r.set_prompt_token_ids(token_ids[:1])
+    r.seq_id = 0
+    sched = [ScheduledSeq(r, 1)]
+    for t in range(1, len(token_ids)):
+        _, _, logits = model.forward(sched, return_logits=True)
+        logp = logits[0] - np.log(np.sum(np.exp(logits[0] - logits[0].max()))) \
+            - logits[0].max()
+        nll -= float(logp[token_ids[t]])
+        count += 1
+        r.output_token_ids.append(token_ids[t])
+        r.num_cached_tokens += sched[0].n_tokens
+        sched = [ScheduledSeq(r, 1)]
+    return float(np.exp(nll / count))
+
+
+def test_int8_perplexity_gate(real_tiny_ckpt):
+    """BASELINE.md north star: quantization costs <= 0.1 perplexity."""
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(0, 128, 48).tolist()
+    base = _perplexity(real_tiny_ckpt, "none", tokens)
+    q8 = _perplexity(real_tiny_ckpt, "int8", tokens)
+    assert abs(q8 - base) < 0.1, f"ppl {base} -> {q8}"
