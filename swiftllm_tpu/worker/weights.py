@@ -152,6 +152,7 @@ def load_params(engine_config: EngineConfig, model_config: LlamaModelConfig,
         "w_down": ("model.layers.{i}.mlp.down_proj.weight", (D, F), True),
     }
 
+    quant = engine_config.quant
     layers = {}
     for key, (tmpl, shape, is_gemm) in layer_names.items():
         per_layer = []
@@ -176,6 +177,16 @@ def load_params(engine_config: EngineConfig, model_config: LlamaModelConfig,
             layers[key] = np.ascontiguousarray(
                 np.repeat(w, rep, axis=2).reshape(L, D, nkv_eff * hd))
 
+    # Weight-only quantization at load time (none | int8 | int4), applied
+    # layer-by-layer: a whole-stack f32 working copy of an 8B projection is
+    # ~7.5 GB of pointless peak host memory.
+    if quant != "none":
+        from swiftllm_tpu.worker.quant import quantize_weight
+        for key in GEMM_KEYS:
+            w = layers[key]
+            qd = [quantize_weight(w[i], quant) for i in range(L)]
+            layers[key] = {k: np.stack([d[k] for d in qd]) for k in qd[0]}
+
     def pad_vocab(w: np.ndarray) -> np.ndarray:
         """Pad the vocab axis to a multiple of tp; the sampler masks the padding."""
         vp = cdiv(V, tp) * tp
@@ -189,13 +200,6 @@ def load_params(engine_config: EngineConfig, model_config: LlamaModelConfig,
         lm_head = embed
     else:
         lm_head = pad_vocab(get("lm_head.weight", (V, D)).astype(np_dtype))
-
-    # Weight-only quantization at load time (none | int8 | int4).
-    quant = engine_config.quant
-    if quant != "none":
-        from swiftllm_tpu.worker.quant import quantize_weight
-        for key in GEMM_KEYS:
-            layers[key] = quantize_weight(layers[key], quant)
 
     host_params = {
         "embed": embed,
