@@ -375,8 +375,13 @@ def forward_shard(
                          batch.q_starts + batch.q_lens - 1, T)              # [B]
     x_pad = jnp.concatenate([x, jnp.zeros((1, x.shape[1]), x.dtype)], axis=0)
     h_last = x_pad[last_tok]                                                # [B, D]
-    logits = (h_last @ params["lm_head"].T.astype(h_last.dtype)
-              ).astype(jnp.float32)                                         # [B, V_local]
+    lm_head = params["lm_head"]
+    if isinstance(lm_head, dict):   # quantized [D, V_local] GEMM layout
+        from swiftllm_tpu.worker.quant import proj as _qproj
+        logits = _qproj(h_last, lm_head).astype(jnp.float32)                # [B, V_local]
+    else:
+        logits = (h_last @ lm_head.T.astype(h_last.dtype)
+                  ).astype(jnp.float32)                                     # [B, V_local]
     # Mask vocab-padding rows (vocab padded to a multiple of tp in the loader).
     vocab_ids = tp_rank * v_local + jnp.arange(v_local, dtype=jnp.int32)
     logits = jnp.where(vocab_ids[None, :] < cfg.vocab_size, logits, -jnp.inf)
@@ -408,7 +413,9 @@ def make_step_fn(mesh, cfg: LlamaModelConfig, *, page_size: int, q_bucket: int,
     from swiftllm_tpu.parallel.mesh import (FEEDBACK_SPEC, KV_CACHE_SPEC,
                                             param_specs)
 
-    PARAM_SPECS = param_specs(quant)
+    quantized_lm_head = quant != "none" and not cfg.tie_word_embeddings
+
+    PARAM_SPECS = param_specs(quant, quantized_lm_head=quantized_lm_head)
     out_specs = ((P(AXIS_DP), KV_CACHE_SPEC, FEEDBACK_SPEC)
                  + ((P(AXIS_DP, None),) if return_logits else ()))
 

@@ -65,8 +65,12 @@ KV_CACHE_SPEC = P(None, AXIS_DP, AXIS_TP)
 GEMM_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
 
 
-def param_specs(quant: str = "none") -> dict:
-    """PARAM_SPECS adjusted for the weight-quantization storage format."""
+def param_specs(quant: str = "none", quantized_lm_head: bool = False) -> dict:
+    """PARAM_SPECS adjusted for the weight-quantization storage format.
+
+    quantized_lm_head: the untied lm_head is stored quantized in [D, V] GEMM
+    layout (vocab stays the tp-sharded axis); tied-embedding models keep the
+    plain [V, D] embedding for both roles."""
     if quant == "none":
         return PARAM_SPECS
     from swiftllm_tpu.worker.quant import spec_for_quantized
@@ -74,6 +78,9 @@ def param_specs(quant: str = "none") -> dict:
     specs["layers"] = {
         k: (spec_for_quantized(v, quant) if k in GEMM_KEYS else v)
         for k, v in PARAM_SPECS["layers"].items()}
+    if quantized_lm_head:
+        q_key = "q" if quant == "int8" else "q4"
+        specs["lm_head"] = {q_key: P(None, AXIS_TP), "s": P(AXIS_TP)}
     return specs
 
 # Batch descriptor: token-axis and seq-row-axis arrays shard over dp.

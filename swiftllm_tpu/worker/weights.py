@@ -196,10 +196,17 @@ def load_params(engine_config: EngineConfig, model_config: LlamaModelConfig,
 
     embed = pad_vocab(get("model.embed_tokens.weight", (V, D)).astype(np_dtype))
     if mc.tie_word_embeddings:
-        # Llama-3.2-style tied embeddings (reference weight.py:157-170).
+        # Llama-3.2-style tied embeddings (reference weight.py:157-170). The
+        # embedding must stay gatherable, so no lm_head quantization here.
         lm_head = embed
     else:
         lm_head = pad_vocab(get("lm_head.weight", (V, D)).astype(np_dtype))
+        if quant != "none":
+            # Quantize the lm_head too (per-vocab-column scales) — at
+            # 128k-vocab models it is ~1 GB of per-step decode traffic. Stored
+            # in [D, V] GEMM layout so the sampling head uses quant.proj.
+            from swiftllm_tpu.worker.quant import quantize_weight
+            lm_head = quantize_weight(np.ascontiguousarray(lm_head.T), quant)
 
     host_params = {
         "embed": embed,
@@ -209,5 +216,6 @@ def load_params(engine_config: EngineConfig, model_config: LlamaModelConfig,
         "layers": layers,
     }
 
-    shardings = named(mesh, param_specs(quant))
+    shardings = named(mesh, param_specs(
+        quant, quantized_lm_head=isinstance(lm_head, dict)))
     return jax.tree.map(lambda arr, s: jax.device_put(arr, s), host_params, shardings)
