@@ -121,11 +121,22 @@ class Engine:
                 self.model._lower, key, self.model.num_blocks_per_shard)
 
     # --- request entry points (reference engine.py:65-87) ----------------------
+    def _fits(self, req: Request) -> bool:
+        """Reject requests that could never complete within one sequence's
+        page budget (instead of an assert deep in the batch builder)."""
+        max_len = self.engine_config.max_seq_len
+        if req.prompt_len + req.output_len > max_len:
+            req.aborted = True
+            req.finished_event.set()
+            return False
+        return True
+
     def _submit(self, raw_request: RawRequest) -> Request:
         req = Request(raw_request)
         if raw_request.prompt_token_ids is not None:
             req.set_prompt_token_ids(list(raw_request.prompt_token_ids))
-            self.scheduler.on_requests_arrival([req])
+            if self._fits(req):
+                self.scheduler.on_requests_arrival([req])
         else:
             self.untokenized_raw_requests.append((req, raw_request.prompt))
         self._work_event.set()
@@ -191,7 +202,7 @@ class Engine:
             arrived = []
             for (req, _), ids in zip(batch, token_ids):
                 req.set_prompt_token_ids(ids)
-                if not req.aborted:
+                if not req.aborted and self._fits(req):
                     arrived.append(req)
             self.scheduler.on_requests_arrival(arrived)
             self._work_event.set()

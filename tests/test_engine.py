@@ -184,3 +184,19 @@ def test_engine_dummy_tokenizer_path():
         assert req.prompt_len == 4   # whitespace dummy tokenizer
         assert len(out) == 4
     asyncio.run(body())
+
+
+def test_engine_rejects_overlong_request():
+    async def body():
+        ec = tiny_engine_config(max_blocks_per_seq=4)   # 64-token sequences max
+        engine = make_engine(ec)
+        await engine.initialize(tokenizer_backend="inline")
+
+        async def client():
+            req, out = await engine.add_request_and_wait(
+                RawRequest("", 60, prompt_token_ids=list(range(30))))
+            return req, out
+
+        req, out = await run_engine(engine, client())
+        assert req.aborted and out == []
+    asyncio.run(body())
