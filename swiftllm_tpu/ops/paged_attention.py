@@ -15,16 +15,19 @@ pages page_table[b]. Causal within the tail: query i of row b has position
 seq_lens[b] - q_lens[b] + i.
 
 Two variants share the KV-streaming core (per-page async copies HBM→VMEM,
-double-buffered across KV chunks; online softmax in fp32; one
-[rows, hd] x [hd, chunk] MXU matmul per q head):
+double-buffered across KV chunks, copying only pages that hold data; online
+softmax in fp32):
 
-- **decode** (q_bucket == 1): the builder packs decode tokens so flat index ==
-  row index; q/o ride ordinary BlockSpecs of ROW_TILE rows per grid step and
-  the kernel walks the rows, each with its own KV stream.
+- **decode** (q_bucket == 1): one grid step per row with the KV-cache UPDATE
+  fused in (cache aliased in/out; page read-modify-write DMA; the new token's
+  attention folds in from VMEM). All q heads ride the sublane axis → n_kv
+  matmuls of [group, chunk] per chunk. The next row's first chunk prefetches
+  across grid steps; the page write-back completes during the next row.
 - **mixed/prefill** (q_bucket > 1): grid (B, q_tiles); each tile DMAs its q
-  rows from HBM at a dynamic offset. The builder aligns every sequence's span
-  to the (>=16-row) tile so offsets are provably tile-aligned — Mosaic rejects
-  unaligned or single-row dynamic slices.
+  rows from HBM at a dynamic offset; the caller scatters the new KV first.
+  The builder aligns every sequence's span to the (>=16-row) tile so offsets
+  are provably tile-aligned — Mosaic rejects unaligned or single-row dynamic
+  slices.
 
 Mosaic layout rules this design honors (learned the hard way):
 - memrefs are lane-tiled (last dim padded to 128): DMA-sliced arrays are
@@ -50,7 +53,6 @@ from swiftllm_tpu.utils import cdiv, next_power_of_2
 from swiftllm_tpu.worker.batch_builder import tile_q_for
 
 NEG_INF = -1e30
-DECODE_ROW_TILE = 16
 
 
 def _wait_page_write(cache_out, w_buf, sem, layer, page_size):
@@ -158,8 +160,8 @@ def _flash_inner(q2, kv_buf, start_next, wait_chunk, *, num_chunks, q_pos,
 def _decode_kernel(
     layer_ref, q_lens_ref, seq_lens_ref, page_table_ref, kv_slots_ref,
     q_ref,          # VMEM block [n_q, hd] (row b's heads as sublanes)
-    kv_new_ref,     # VMEM full array [n_rows, 2*n_kv*hd] — the step's new K‖V
-    cache_in,       # [L*S, 2*n_kv*hd] HBM (aliased with cache_out)
+    kv_new_ref,     # VMEM full array [n_rows, n_kv*2*hd] — the step's new K‖V
+    cache_in,       # [L, S, n_kv*2*hd] HBM (aliased with cache_out)
     o_ref,          # VMEM block [n_q, hd]
     cache_out,      # aliased HBM output — the kernel writes kv_new here
     kv_buf, kv_sems, w_buf, w_sem, ww_sem, ctr_ref, wpend_ref,
