@@ -43,6 +43,7 @@ def main():
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--block-size", type=int, default=32,
                    help="KV page size in tokens (larger = fewer DMAs per row)")
+    p.add_argument("--mode", default="decode", choices=("decode", "prefill"))
     p.add_argument("--quant", default="none", choices=("none", "int8", "int4"))
     p.add_argument("--kv-quant", default="none", choices=("none", "fp8"))
     p.add_argument("--kv-scale", type=float, default=1.0)
@@ -101,17 +102,46 @@ def main():
             s.request.num_cached_tokens += s.n_tokens
         return tokens_dev
 
-    # chunked prefill (not timed here)
-    while any(r.is_prefill_stage() for r in reqs):
-        sched = [ScheduledSeq(r, min(ec.prefill_chunk_size // 4, r.num_uncached_tokens()))
-                 for r in reqs if r.num_uncached_tokens() > 0]
-        budget, batch = ec.max_tokens_in_batch, []
-        for s in sched:
-            if budget - s.n_tokens < 0:
-                break
-            batch.append(s)
-            budget -= s.n_tokens
-        apply(*model.forward_async(batch))
+    def run_prefill():
+        last = None
+        while any(r.is_prefill_stage() for r in reqs):
+            sched = [ScheduledSeq(r, min(ec.prefill_chunk_size,
+                                         r.num_uncached_tokens()))
+                     for r in reqs if r.num_uncached_tokens() > 0]
+            budget, batch = ec.max_tokens_in_batch, []
+            for s in sched:
+                if budget - s.n_tokens < 0:
+                    break
+                batch.append(s)
+                budget -= s.n_tokens
+            last = apply(*model.forward_async(batch))
+        return last
+
+    if args.mode == "prefill":
+        # warmup (compile) on one cohort, then time a fresh identical cohort.
+        jax.block_until_ready(run_prefill())
+        for r in reqs:
+            model.free_seqs_resources([r])
+            r.num_cached_tokens = 0
+            r.output_token_ids.clear()
+        t0 = time.perf_counter()
+        jax.block_until_ready(run_prefill())
+        dt = time.perf_counter() - t0
+        tok_per_s = args.batch * args.context / dt
+        # Prefill roofline: compute-bound. FLOPs/token ≈ 2 * params.
+        n_params = (V * D * 2 + L * D * (nq * hd + 2 * nkv * hd + hd * nq + 3 * F))
+        kind = dev.device_kind.lower()
+        peak_flops = 197e12 if ("v5" in kind and "lite" in kind) else 100e12
+        sol = peak_flops / (2 * n_params)
+        print(json.dumps({
+            "metric": f"prefill_throughput_{args.model}_b{args.batch}_c{args.context}",
+            "value": round(tok_per_s, 2),
+            "unit": "tokens/s/chip",
+            "vs_baseline": round(tok_per_s / sol, 4),
+        }))
+        return
+
+    run_prefill()
 
     # warmup decode (compile)
     jax.block_until_ready(apply(*model.forward_async(
