@@ -61,36 +61,70 @@ def _wait_page_write(cache_out, w_buf, sem, layer, page_size):
         w_buf, cache_out.at[layer, pl.ds(0, page_size)], sem).wait()
 
 
+_FAST_SIZES = (1, 2, 4, 8, 16, 32)
+
+
 def _make_chunk_io(cache_hbm, layer, page_table_ref, kv_buf, kv_sems, *,
                    page_size: int, chunk_pages: int):
-    """Per-page async-copy helpers for one row's KV chunks.
+    """Async-copy helpers for one row's KV chunks over a FLAT per-slot buffer
+    kv_buf [2, chunk_pages*page_size, lanes].
 
-    Copies (and waits on) only the pages that actually hold KV — `need` is the
-    row's total page count cdiv(seq_len, page_size). Skipped buffer regions
-    hold stale data, which the causal/length mask discards. This matters: the
-    naive version DMAs the full padded chunk, which at short contexts is both
-    wasted bandwidth and thousands of extra DMA issues per step."""
+    Two paths, selected by the per-row ``sel`` scalar the dispatch computes:
+    - sel > 0 (row's pages are CONSECUTIVE in the pool and fit one chunk —
+      the common case with a fresh allocator): ONE DMA of sel pages. sel is
+      the pow2 page count ≥ need, so the copy size is static; the over-read
+      is masked like any padding.
+    - sel == 0: per-page DMAs, copying only pages that actually hold KV
+      (`need` = cdiv(hist, page_size)). Skipped buffer regions hold stale
+      data, which the masks discard.
 
-    def start_chunk(b, c, slot, need):
+    The per-page path costs ~2 scalar-core ops per page per chunk per row —
+    at large batch that is the dominant decode cost, which is what the
+    contiguous path removes."""
+    sizes = [z for z in _FAST_SIZES if z <= chunk_pages]
+
+    def start_chunk(b, c, slot, need, sel=None):
+        if sel is not None:
+            for z in sizes:
+                @pl.when((c == 0) & (sel == z))
+                def _(z=z):
+                    p0 = page_table_ref[b, 0]
+                    pltpu.make_async_copy(
+                        cache_hbm.at[layer, pl.ds(p0 * page_size,
+                                                  z * page_size)],
+                        kv_buf.at[slot, pl.ds(0, z * page_size)],
+                        kv_sems.at[slot, 0],
+                    ).start()
+        fallback = (sel == 0) if sel is not None else True
         base = c * chunk_pages
         for j in range(chunk_pages):
-            @pl.when(base + j < need)
+            @pl.when(fallback & (base + j < need))
             def _(j=j):
                 page = page_table_ref[b, base + j]
                 pltpu.make_async_copy(
                     cache_hbm.at[layer, pl.ds(page * page_size, page_size)],
-                    kv_buf.at[slot, j],
+                    kv_buf.at[slot, pl.ds(j * page_size, page_size)],
                     kv_sems.at[slot, j],
                 ).start()
 
-    def wait_chunk(slot, base, need):
+    def wait_chunk(slot, base, need, sel=None):
+        if sel is not None:
+            for z in sizes:
+                @pl.when((base == 0) & (sel == z))
+                def _(z=z):
+                    pltpu.make_async_copy(
+                        cache_hbm.at[0, pl.ds(0, z * page_size)],  # shape-only
+                        kv_buf.at[slot, pl.ds(0, z * page_size)],
+                        kv_sems.at[slot, 0],
+                    ).wait()
+        fallback = (sel == 0) if sel is not None else True
         for j in range(chunk_pages):
-            @pl.when(base + j < need)
+            @pl.when(fallback & (base + j < need))
             def _(j=j):
                 # Reconstruct an equivalent copy to wait on its semaphore.
                 pltpu.make_async_copy(
                     cache_hbm.at[0, pl.ds(0, page_size)],  # shape-only
-                    kv_buf.at[slot, j],
+                    kv_buf.at[slot, pl.ds(j * page_size, page_size)],
                     kv_sems.at[slot, j],
                 ).wait()
 
@@ -158,32 +192,32 @@ def _flash_inner(q2, kv_buf, start_next, wait_chunk, *, num_chunks, q_pos,
 
 
 def _decode_kernel(
-    layer_ref, q_lens_ref, seq_lens_ref, page_table_ref, kv_slots_ref,
-    q_ref,          # VMEM block [n_q, hd] (row b's heads as sublanes)
+    layer_ref, q_lens_ref, seq_lens_ref, page_table_ref, kv_slots_ref, sel_ref,
+    q_ref,          # VMEM block [rows_per_step*n_q, hd] (heads as sublanes)
     kv_new_ref,     # VMEM full array [n_rows, n_kv*2*hd] — the step's new K‖V
     cache_in,       # [L, S, n_kv*2*hd] HBM (aliased with cache_out)
-    o_ref,          # VMEM block [n_q, hd]
+    o_ref,          # VMEM block [rows_per_step*n_q, hd]
     cache_out,      # aliased HBM output — the kernel writes kv_new here
     kv_buf, kv_sems, w_buf, w_sem, ww_sem, ctr_ref, wpend_ref,
-    *, page_size, chunk_pages, sm_scale, n_q, n_kv, hd, n_rows,
+    *, page_size, chunk_pages, sm_scale, n_q, n_kv, hd, n_rows, rows_per_step,
 ):
-    """One grid step per decode row, with the KV-cache update fused in.
+    """Decode attention with the KV-cache update fused in; ``rows_per_step``
+    rows per grid step (amortizes grid/BlockSpec overhead).
 
-    The new token's K/V is written to its cache slot by an in-kernel DMA
-    (cache aliased in/out, so the whole step updates the cache IN PLACE — an
-    XLA-level scatter next to a custom call forces whole-cache copies every
-    layer). The attention itself streams only the FIRST seq_len-1 positions
-    from HBM and folds the new token's contribution in from VMEM, so there is
-    no write→read hazard on the cache.
+    The new token's K/V is written to its cache slot by an in-kernel page
+    read-modify-write DMA (cache aliased in/out — an XLA-level scatter next to
+    a custom call forces whole-cache copies every layer; single-row HBM slices
+    are not tile-aligned, a page is). The write-back's wait is deferred to the
+    NEXT row. Attention streams only the first seq_len-1 positions from HBM
+    and folds the new token in from VMEM, so there is no write→read hazard.
 
     All q heads ride the sublane axis, so each KV chunk costs n_kv matmuls of
     [group, chunk] (not n_q of [1, chunk]). The KV stream is double-buffered
     globally: chunk slots alternate across the whole (row, chunk) sequence and
     each chunk's compute starts the NEXT stream element — the next chunk of
-    this row, or the first chunk of the next row — so DMA latency is hidden
-    across row boundaries. ``ctr_ref`` (SMEM, persists across grid steps)
-    carries the slot parity."""
-    b = pl.program_id(0)
+    this row, or the first chunk of the next row — hiding DMA latency across
+    row boundaries. ``ctr_ref`` (SMEM, persists) carries the slot parity."""
+    g = pl.program_id(0)
     layer = layer_ref[0]
     chunk = chunk_pages * page_size
     group = n_q // n_kv
@@ -191,139 +225,144 @@ def _decode_kernel(
         cache_in, layer, page_table_ref, kv_buf, kv_sems,
         page_size=page_size, chunk_pages=chunk_pages)
 
-    seq_len = seq_lens_ref[b]
-    hist = seq_len - 1                  # positions streamed from the cache
-    nc = pl.cdiv(hist, chunk)
-    need = pl.cdiv(hist, page_size)
-
-    @pl.when(b == 0)
+    @pl.when(g == 0)
     def _():
         ctr_ref[0] = 0
         wpend_ref[0] = 0
-        start_chunk(0, 0, 0, pl.cdiv(seq_lens_ref[0] - 1, page_size))
+        start_chunk(0, 0, 0, pl.cdiv(seq_lens_ref[0] - 1, page_size),
+                    sel_ref[0])
 
-    base = ctr_ref[0]
-    b_next = jnp.minimum(b + 1, n_rows - 1)
-    next_valid = (b + 1 < n_rows) & (q_lens_ref[b_next] > 0)
-    next_need = pl.cdiv(seq_lens_ref[b_next] - 1, page_size)
+    for r in range(rows_per_step):
+        b = g * rows_per_step + r
+        seq_len = seq_lens_ref[b]
+        hist = seq_len - 1              # positions streamed from the cache
+        nc = pl.cdiv(hist, chunk)
+        need = pl.cdiv(hist, page_size)
+        base = ctr_ref[0]
+        sel = sel_ref[b]
+        b_next = jnp.minimum(b + 1, n_rows - 1)
+        next_valid = (b + 1 < n_rows) & (q_lens_ref[b_next] > 0)
+        next_need = pl.cdiv(seq_lens_ref[b_next] - 1, page_size)
+        next_sel = sel_ref[b_next]
 
-    @pl.when((q_lens_ref[b] > 0) & (seq_len > 0))
-    def _row():
-        # The cache write is a read-modify-write of the slot's whole page:
-        # single-row HBM slices are not tile-aligned, a full page is. Start
-        # the page read now; merge + write back after attention (by then every
-        # read of this page — ours included — has completed, and no other row
-        # ever touches this page).
-        # The previous row's write-back DMA reads w_buf; it must land before
-        # this row's page read overwrites the buffer. Its wait is deferred to
-        # here so the write overlaps the previous row's tail instead of
-        # stalling it.
-        @pl.when(wpend_ref[0] == 1)
-        def _():
-            _wait_page_write(cache_out, w_buf, ww_sem, layer, page_size)
-            wpend_ref[0] = 0
-        w_page = kv_slots_ref[b] // page_size
-        w_read = pltpu.make_async_copy(
-            cache_in.at[layer, pl.ds(w_page * page_size, page_size)], w_buf, w_sem)
-        w_read.start()
-        # Select this row's new K/V by mask-sum (single-sublane dynamic
-        # slices are illegal).
-        all_new = kv_new_ref[...].astype(jnp.float32)       # [n_rows, lanes]
-        row_iota = jax.lax.broadcasted_iota(jnp.int32, (all_new.shape[0], 1), 0)
-        kv_new = jnp.sum(jnp.where(row_iota == b, all_new, 0),
-                         axis=0, keepdims=True)             # [1, lanes] f32
-
-        # hist == 0 rows run zero chunk iterations, so the cross-row prefetch
-        # chain must be kept alive here instead.
-        @pl.when((nc == 0) & next_valid)
-        def _():
-            start_chunk(b_next, 0, base, next_need)
-
-        q = q_ref[...]                                     # [n_q, hd]
-        m0 = jnp.full((n_kv, group, 1), NEG_INF, jnp.float32)
-        l0 = jnp.zeros((n_kv, group, 1), jnp.float32)
-        a0 = jnp.zeros((n_kv, group, hd), jnp.float32)
-
-        def body(c, carry):
-            m, l, acc = carry
-            slot = jax.lax.rem(base + c, 2)
-
-            @pl.when(c + 1 < nc)
+        @pl.when((q_lens_ref[b] > 0) & (seq_len > 0))
+        def _row(r=r, b=b, seq_len=seq_len, hist=hist, nc=nc, need=need,
+                 base=base, b_next=b_next, next_valid=next_valid,
+                 next_need=next_need):
+            # The previous row's write-back DMA reads w_buf; it must land
+            # before this row's page read overwrites the buffer.
+            @pl.when(wpend_ref[0] == 1)
             def _():
-                start_chunk(b, c + 1, jax.lax.rem(base + c + 1, 2), need)
+                _wait_page_write(cache_out, w_buf, ww_sem, layer, page_size)
+                wpend_ref[0] = 0
+            w_page = kv_slots_ref[b] // page_size
+            w_read = pltpu.make_async_copy(
+                cache_in.at[layer, pl.ds(w_page * page_size, page_size)],
+                w_buf, w_sem)
+            w_read.start()
+            # Select this row's new K/V by mask-sum (single-sublane dynamic
+            # slices are illegal).
+            all_new = kv_new_ref[...].astype(jnp.float32)   # [n_rows, lanes]
+            row_iota = jax.lax.broadcasted_iota(
+                jnp.int32, (all_new.shape[0], 1), 0)
+            kv_new = jnp.sum(jnp.where(row_iota == b, all_new, 0),
+                             axis=0, keepdims=True)         # [1, lanes] f32
 
-            @pl.when((c + 1 >= nc) & next_valid)
+            # hist == 0 rows run zero chunk iterations, so the cross-row
+            # prefetch chain must be kept alive here instead.
+            @pl.when((nc == 0) & next_valid)
             def _():
-                start_chunk(b_next, 0, jax.lax.rem(base + nc, 2), next_need)
+                start_chunk(b_next, 0, base, next_need, next_sel)
 
-            wait_chunk(slot, c * chunk_pages, need)
-            kv2 = kv_buf[slot].reshape(chunk, 2 * n_kv * hd)
-            key_pos = c * chunk + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
-            # Zero never-DMA'd rows (stale/uninit VMEM): 0 * NaN poisons p@v.
-            key_pos_col = (c * chunk
-                           + jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0))
-            kv2 = jnp.where(key_pos_col < need * page_size, kv2, 0)
-            valid = key_pos < hist                          # [1, chunk]
+            q = q_ref[r * n_q:(r + 1) * n_q, :]             # [n_q, hd]
+            m0 = jnp.full((n_kv, group, 1), NEG_INF, jnp.float32)
+            l0 = jnp.zeros((n_kv, group, 1), jnp.float32)
+            a0 = jnp.zeros((n_kv, group, hd), jnp.float32)
 
-            new_m, new_l, new_acc = [], [], []
+            def body(c, carry):
+                m, l, acc = carry
+                slot = jax.lax.rem(base + c, 2)
+
+                @pl.when(c + 1 < nc)
+                def _():
+                    start_chunk(b, c + 1, jax.lax.rem(base + c + 1, 2), need,
+                                sel)
+
+                @pl.when((c + 1 >= nc) & next_valid)
+                def _():
+                    start_chunk(b_next, 0, jax.lax.rem(base + nc, 2),
+                                next_need, next_sel)
+
+                wait_chunk(slot, c * chunk_pages, need, sel)
+                kv2 = kv_buf[slot]                          # [chunk, lanes]
+                key_pos = c * chunk + jax.lax.broadcasted_iota(
+                    jnp.int32, (1, chunk), 1)
+                # Zero never-DMA'd rows (stale VMEM): 0 * NaN poisons p@v.
+                key_pos_col = (c * chunk + jax.lax.broadcasted_iota(
+                    jnp.int32, (chunk, 1), 0))
+                kv2 = jnp.where(key_pos_col < need * page_size, kv2, 0)
+                valid = key_pos < hist                      # [1, chunk]
+
+                new_m, new_l, new_acc = [], [], []
+                for h in range(n_kv):
+                    qh = q[h * group:(h + 1) * group, :]    # [group, hd]
+                    kh = kv2[:, h * 2 * hd:h * 2 * hd + hd]  # [chunk, hd]
+                    vh = kv2[:, h * 2 * hd + hd:(h + 1) * 2 * hd]
+                    sc = jax.lax.dot_general(
+                        qh, kh.astype(qh.dtype), (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32) * sm_scale
+                    sc = jnp.where(valid, sc, NEG_INF)      # [group, chunk]
+
+                    mi = jnp.maximum(m[h], jnp.max(sc, axis=-1, keepdims=True))
+                    pr = jnp.exp(sc - mi)
+                    scale = jnp.exp(m[h] - mi)
+                    li = l[h] * scale + jnp.sum(pr, axis=-1, keepdims=True)
+                    ai = acc[h] * scale + jax.lax.dot_general(
+                        pr.astype(q.dtype), vh.astype(q.dtype),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    new_m.append(mi)
+                    new_l.append(li)
+                    new_acc.append(ai)
+                return (jnp.stack(new_m), jnp.stack(new_l), jnp.stack(new_acc))
+
+            m, l, acc = jax.lax.fori_loop(0, nc, body, (m0, l0, a0))
+
+            # Fold in the new token (key position seq_len-1) from VMEM.
+            outs = []
             for h in range(n_kv):
-                qh = q[h * group:(h + 1) * group, :]        # [group, hd]
-                kh = kv2[:, h * 2 * hd:h * 2 * hd + hd]     # [chunk, hd]
-                vh = kv2[:, h * 2 * hd + hd:(h + 1) * 2 * hd]
-                s = jax.lax.dot_general(
-                    qh, kh.astype(qh.dtype), (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32) * sm_scale
-                s = jnp.where(valid, s, NEG_INF)            # [group, chunk]
-
-                mi = jnp.maximum(m[h], jnp.max(s, axis=-1, keepdims=True))
-                p = jnp.exp(s - mi)
+                qh = q[h * group:(h + 1) * group, :].astype(jnp.float32)
+                k_new = kv_new[:, h * 2 * hd:h * 2 * hd + hd]
+                v_new = kv_new[:, h * 2 * hd + hd:(h + 1) * 2 * hd]
+                s_new = jnp.sum(qh * k_new, axis=-1, keepdims=True) * sm_scale
+                mi = jnp.maximum(m[h], s_new)
                 scale = jnp.exp(m[h] - mi)
-                li = l[h] * scale + jnp.sum(p, axis=-1, keepdims=True)
-                ai = acc[h] * scale + jax.lax.dot_general(
-                    p.astype(q.dtype), vh.astype(q.dtype),
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                new_m.append(mi)
-                new_l.append(li)
-                new_acc.append(ai)
-            return (jnp.stack(new_m), jnp.stack(new_l), jnp.stack(new_acc))
+                p_new = jnp.exp(s_new - mi)
+                li = l[h] * scale + p_new
+                ai = acc[h] * scale + p_new * v_new
+                outs.append(ai / jnp.maximum(li, 1e-30))
+            out = jnp.concatenate(outs, axis=0)
+            o_ref[r * n_q:(r + 1) * n_q, :] = out.astype(o_ref.dtype)
+            ctr_ref[0] = jax.lax.rem(base + nc, 2)
 
-        m, l, acc = jax.lax.fori_loop(0, nc, body, (m0, l0, a0))
+            # Merge the new K/V row into the page and write it back. The wait
+            # is deferred: the next row consumes it.
+            w_read.wait()
+            w_off = kv_slots_ref[b] % page_size
+            page_tile = w_buf[...]                          # [page_size, lanes]
+            sub_iota = jax.lax.broadcasted_iota(jnp.int32, (page_size, 1), 0)
+            w_buf[...] = jnp.where(sub_iota == w_off,
+                                   kv_new.astype(w_buf.dtype), page_tile)
+            pltpu.make_async_copy(
+                w_buf,
+                cache_out.at[layer, pl.ds(w_page * page_size, page_size)],
+                ww_sem).start()
+            wpend_ref[0] = 1
 
-        # Fold in the new token (key position seq_len-1) from VMEM.
-        outs = []
-        for h in range(n_kv):
-            qh = q[h * group:(h + 1) * group, :].astype(jnp.float32)
-            k_new = kv_new[:, h * 2 * hd:h * 2 * hd + hd]
-            v_new = kv_new[:, h * 2 * hd + hd:(h + 1) * 2 * hd]
-            s_new = jnp.sum(qh * k_new, axis=-1, keepdims=True) * sm_scale
-            mi = jnp.maximum(m[h], s_new)
-            scale = jnp.exp(m[h] - mi)
-            p_new = jnp.exp(s_new - mi)
-            li = l[h] * scale + p_new
-            ai = acc[h] * scale + p_new * v_new
-            outs.append(ai / jnp.maximum(li, 1e-30))
-        out = jnp.concatenate(outs, axis=0)
-        o_ref[...] = out.astype(o_ref.dtype)
-        ctr_ref[0] = jax.lax.rem(base + nc, 2)
-
-        # Merge the new K/V row into the page and write it back. The wait is
-        # deferred: the next row (or the last-row epilogue) consumes it.
-        w_read.wait()
-        w_off = kv_slots_ref[b] % page_size
-        page_tile = w_buf[...]                              # [page_size, lanes]
-        sub_iota = jax.lax.broadcasted_iota(jnp.int32, (page_size, 1), 0)
-        w_buf[...] = jnp.where(sub_iota == w_off,
-                               kv_new.astype(w_buf.dtype), page_tile)
-        pltpu.make_async_copy(
-            w_buf, cache_out.at[layer, pl.ds(w_page * page_size, page_size)],
-            ww_sem).start()
-        wpend_ref[0] = 1
-
-        @pl.when(jnp.logical_not(next_valid))
-        def _():   # last valid row: the write must complete before kernel exit
-            _wait_page_write(cache_out, w_buf, ww_sem, layer, page_size)
-            wpend_ref[0] = 0
+            @pl.when(jnp.logical_not(next_valid))
+            def _():   # last valid row: the write must land before kernel exit
+                _wait_page_write(cache_out, w_buf, ww_sem, layer, page_size)
+                wpend_ref[0] = 0
 
 
 def _tiles_kernel(
@@ -429,20 +468,39 @@ def ragged_paged_attention(q, cache3, layer, batch, *, n_kv: int,
         assert T >= B, f"decode path needs T({T}) >= B({B})"
         assert kv_new is not None, "decode path fuses the KV-cache update"
         kv_slots_l = batch.kv_slots[:B]
+        # Contiguous fast path: rows whose `need` pages are consecutive pool
+        # pages AND fit one chunk take ONE pow2-sized DMA instead of
+        # per-page copies (sel = that pow2 count; 0 = per-page path).
+        hist = jnp.maximum(batch.seq_lens - 1, 0)
+        need = (hist + page_size - 1) // page_size                     # [B]
+        idx = jnp.arange(Pg - 1, dtype=jnp.int32)
+        steps_ok = jnp.where(
+            idx[None, :] < (need - 1)[:, None],
+            batch.page_table[:, 1:] == batch.page_table[:, :-1] + 1, True)
+        contig = jnp.all(steps_ok, axis=1)
+        pow2 = jnp.select([need <= z for z in _FAST_SIZES],
+                          list(_FAST_SIZES), 0)
+        pages_per_layer = cache3.shape[1] // page_size
+        fits = batch.page_table[:, 0] + pow2 <= pages_per_layer
+        sel = jnp.where((need > 0) & contig & fits
+                        & (pow2 > 0) & (pow2 <= chunk_pages),
+                        pow2, 0).astype(jnp.int32)
+        R = 4 if B % 4 == 0 else 1      # rows per grid step
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=5,
-            grid=(B,),
+            num_scalar_prefetch=6,
+            grid=(B // R,),
             in_specs=[
-                pl.BlockSpec((n_q, hd), lambda b, *refs: (b, 0)),          # q
+                pl.BlockSpec((R * n_q, hd), lambda g, *refs: (g, 0)),      # q
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # kv_new (whole array)
                 pl.BlockSpec(memory_space=pltpu.HBM),   # cache (aliased)
             ],
             out_specs=[
-                pl.BlockSpec((n_q, hd), lambda b, *refs: (b, 0)),           # o
+                pl.BlockSpec((R * n_q, hd), lambda g, *refs: (g, 0)),       # o
                 pl.BlockSpec(memory_space=pltpu.HBM),   # cache out (alias)
             ],
             scratch_shapes=[
-                pltpu.VMEM((2, chunk_pages, page_size, 2 * n_kv * hd), cache3.dtype),
+                pltpu.VMEM((2, chunk_pages * page_size, 2 * n_kv * hd),
+                           cache3.dtype),
                 pltpu.SemaphoreType.DMA((2, chunk_pages)),
                 pltpu.VMEM((page_size, 2 * n_kv * hd), cache3.dtype),  # w_buf
                 pltpu.SemaphoreType.DMA,                 # page read
@@ -453,17 +511,18 @@ def ragged_paged_attention(q, cache3, layer, batch, *, n_kv: int,
         )
         kernel = functools.partial(
             _decode_kernel, page_size=page_size, chunk_pages=chunk_pages,
-            sm_scale=sm_scale, n_q=n_q, n_kv=n_kv, hd=hd, n_rows=B)
+            sm_scale=sm_scale, n_q=n_q, n_kv=n_kv, hd=hd, n_rows=B,
+            rows_per_step=R)
         out, cache3 = pl.pallas_call(
             kernel, grid_spec=grid_spec,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             out_shape=[jax.ShapeDtypeStruct((B * n_q, hd), q.dtype),
                        jax.ShapeDtypeStruct(cache3.shape, cache3.dtype)],
-            # flat operand order: 5 scalar-prefetch, q=5, kv_new=6, cache=7.
-            input_output_aliases={7: 1},
+            # flat operand order: 6 scalar-prefetch, q=6, kv_new=7, cache=8.
+            input_output_aliases={8: 1},
             interpret=interpret,
-        )(layer_arr, batch.q_lens, batch.seq_lens, pt, kv_slots_l,
+        )(layer_arr, batch.q_lens, batch.seq_lens, pt, kv_slots_l, sel,
           q[:B].reshape(B * n_q, hd),
           kv_new[:B],
           cache3)
@@ -484,7 +543,7 @@ def ragged_paged_attention(q, cache3, layer, batch, *, n_kv: int,
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
             pltpu.VMEM((tile_q, n_q * hd), q.dtype),                        # q_buf
-            pltpu.VMEM((2, chunk_pages, page_size, 2 * n_kv * hd), cache3.dtype),
+            pltpu.VMEM((2, chunk_pages * page_size, 2 * n_kv * hd), cache3.dtype),
             pltpu.VMEM((tile_q, n_q * hd), q.dtype),                        # o_buf
             pltpu.SemaphoreType.DMA,                                        # q_sem
             pltpu.SemaphoreType.DMA((2, chunk_pages)),                      # kv_sems

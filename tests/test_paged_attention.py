@@ -180,3 +180,35 @@ def test_fp8_cache_decode():
         sl = slice(int(batch.q_starts[b]), int(batch.q_starts[b] + batch.q_lens[b]))
         np.testing.assert_allclose(np.asarray(got[sl]), np.asarray(ref[sl]),
                                    atol=5e-4, rtol=1e-3)
+
+
+def test_decode_contiguous_pages_fast_path():
+    # Consecutive page ids trigger the single-DMA fast path (sel > 0).
+    rng = np.random.default_rng(9)
+    q, cache, batch, qb = make_case(rng, [(1, 9), (1, 33), (1, 17)])
+    B, Pg = np.asarray(batch.page_table).shape
+    pt = np.zeros((B, Pg), np.int32)
+    kv_slots = np.asarray(batch.kv_slots).copy()
+    c = 0
+    for b in range(B):
+        seq_len = int(batch.seq_lens[b])
+        if seq_len == 0:
+            continue
+        npg = cdiv(seq_len, 8)
+        pt[b, :npg] = np.arange(c, c + npg)   # contiguous!
+        c += npg
+        last = seq_len - 1
+        kv_slots[b] = pt[b, last // 8] * 8 + last % 8
+    # rebuild the cache gather association: move KV into the new pages
+    old_pt = np.asarray(batch.page_table)
+    new_cache = np.array(cache)
+    for b in range(B):
+        seq_len = int(batch.seq_lens[b])
+        npg = cdiv(seq_len, 8)
+        for j in range(npg):
+            new_cache[pt[b, j] * 8:(pt[b, j] + 1) * 8] = \
+                np.asarray(cache)[old_pt[b, j] * 8:(old_pt[b, j] + 1) * 8]
+    import dataclasses
+    batch = dataclasses.replace(batch, page_table=jnp.asarray(pt),
+                                kv_slots=jnp.asarray(kv_slots))
+    compare(q, jnp.asarray(new_cache), batch, qb)
