@@ -178,7 +178,7 @@ def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
 
 def _ragged_paged_attention_jnp(
     q: jax.Array,           # [T, n_q_local, hd]
-    cache_l: jax.Array,     # [S_local, n_kv_local, 2, hd] — this layer, this shard
+    cache_l: jax.Array,     # [S_local, 2, n_kv_local, hd] — this layer, this shard
     batch: StepBatch,
     *,
     page_size: int,
@@ -195,15 +195,15 @@ def _ragged_paged_attention_jnp(
     """
     T, n_q, hd = q.shape
     B, Pg = batch.page_table.shape
-    n_kv = cache_l.shape[1]
+    n_kv = cache_l.shape[2]
     group = n_q // n_kv
     K = Pg * page_size
 
     # [B, K] flat slot ids of every row's KV positions.
     slot_ids = (batch.page_table[:, :, None] * page_size
                 + jnp.arange(page_size, dtype=jnp.int32)[None, None, :]).reshape(B, K)
-    kv = cache_l[slot_ids].astype(q.dtype)          # [B, K, n_kv, 2, hd]
-    k, v = kv[:, :, :, 0], kv[:, :, :, 1]           # [B, K, n_kv, hd]
+    kv = cache_l[slot_ids].astype(q.dtype)          # [B, K, 2, n_kv, hd]
+    k, v = kv[:, :, 0], kv[:, :, 1]                 # [B, K, n_kv, hd]
 
     # Dense query view: [B, Q] flat-token indices (pad → extra zero row at T).
     # Row b's queries are flat tokens q_starts[b] .. q_starts[b]+q_lens[b]-1.
@@ -270,7 +270,7 @@ def _attention_and_store(q, kv_new, cache3, layer, batch, *, n_kv,
     else:
         cache3 = cache3.at[layer, batch.kv_slots].set(kv_new)
         s_local = cache3.shape[1]
-        cache_l = cache3[layer].reshape(s_local, n_kv, 2, hd)
+        cache_l = cache3[layer].reshape(s_local, 2, n_kv, hd)
         attn = _ragged_paged_attention_jnp(q, cache_l, batch,
                                            page_size=page_size,
                                            sm_scale=sm_eff, q_bucket=q_bucket)
@@ -344,9 +344,11 @@ def forward_shard(
         q = apply_rope(q, batch.positions, inv_freq)
         k = apply_rope(k, batch.positions, inv_freq)
 
-        # Per-head-interleaved K‖V lanes: [k_0, v_0, k_1, v_1, ...]; scaled
-        # and cast to the cache dtype here (fp8 when kv_quant is on).
-        kv_new = jnp.stack([k, v], axis=2).reshape(T, n_kv_l * 2 * hd)
+        # Per-shard lane halves [K_all ‖ V_all] (each shard writes only its
+        # own lane slice, so the layout is shard-local); scaled and cast to
+        # the cache dtype here (fp8 when kv_quant is on).
+        kv_new = jnp.concatenate(
+            [k.reshape(T, n_kv_l * hd), v.reshape(T, n_kv_l * hd)], axis=1)
         if kv_scale != 1.0:
             kv_new = kv_new * jnp.asarray(kv_scale, kv_new.dtype)
         kv_new = kv_new.astype(cache.dtype)

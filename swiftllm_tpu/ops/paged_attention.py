@@ -167,8 +167,8 @@ def _flash_inner(q2, kv_buf, start_next, wait_chunk, *, num_chunks, q_pos,
         for i in range(n_q):
             h = i // group
             qi = q2[:, i * hd:(i + 1) * hd]                 # [rows, hd]
-            kh = kv2[:, h * 2 * hd:h * 2 * hd + hd]         # [chunk, hd]
-            vh = kv2[:, h * 2 * hd + hd:(h + 1) * 2 * hd]
+            kh = kv2[:, h * hd:(h + 1) * hd]                # [chunk, hd]
+            vh = kv2[:, (n_kv + h) * hd:(n_kv + h + 1) * hd]
             s = jax.lax.dot_general(
                 qi, kh.astype(qi.dtype), (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * sm_scale
@@ -275,9 +275,21 @@ def _decode_kernel(
                 start_chunk(b_next, 0, base, next_need, next_sel)
 
             q = q_ref[r * n_q:(r + 1) * n_q, :]             # [n_q, hd]
-            m0 = jnp.full((n_kv, group, 1), NEG_INF, jnp.float32)
-            l0 = jnp.zeros((n_kv, group, 1), jnp.float32)
-            a0 = jnp.zeros((n_kv, group, hd), jnp.float32)
+            # Block-diagonal q [n_q, n_kv*hd]: q row i (kv head i//group)
+            # occupies lane block h*hd..(h+1)*hd. ONE matmul then computes
+            # ALL heads' scores against the lane-contiguous K half — n_kv
+            # small matmuls and n_kv-fold softmax bookkeeping collapse to one
+            # (decode is issue-bound at these shapes, not FLOP-bound).
+            KH = n_kv * hd
+            head_row = jax.lax.broadcasted_iota(jnp.int32, (n_q, KH), 0) // group
+            head_col = jax.lax.broadcasted_iota(jnp.int32, (n_q, KH), 1) // hd
+            blk_mask = head_row == head_col
+            q_blk = jnp.where(blk_mask,
+                              jnp.concatenate([q] * n_kv, axis=1), 0)
+
+            m0 = jnp.full((n_q, 1), NEG_INF, jnp.float32)
+            l0 = jnp.zeros((n_q, 1), jnp.float32)
+            a0 = jnp.zeros((n_q, KH), jnp.float32)
 
             def body(c, carry):
                 m, l, acc = carry
@@ -294,7 +306,7 @@ def _decode_kernel(
                                 next_need, next_sel)
 
                 wait_chunk(slot, c * chunk_pages, need, sel)
-                kv2 = kv_buf[slot]                          # [chunk, lanes]
+                kv2 = kv_buf[slot]                          # [chunk, 2*KH]
                 key_pos = c * chunk + jax.lax.broadcasted_iota(
                     jnp.int32, (1, chunk), 1)
                 # Zero never-DMA'd rows (stale VMEM): 0 * NaN poisons p@v.
@@ -303,45 +315,43 @@ def _decode_kernel(
                 kv2 = jnp.where(key_pos_col < need * page_size, kv2, 0)
                 valid = key_pos < hist                      # [1, chunk]
 
-                new_m, new_l, new_acc = [], [], []
-                for h in range(n_kv):
-                    qh = q[h * group:(h + 1) * group, :]    # [group, hd]
-                    kh = kv2[:, h * 2 * hd:h * 2 * hd + hd]  # [chunk, hd]
-                    vh = kv2[:, h * 2 * hd + hd:(h + 1) * 2 * hd]
-                    sc = jax.lax.dot_general(
-                        qh, kh.astype(qh.dtype), (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32) * sm_scale
-                    sc = jnp.where(valid, sc, NEG_INF)      # [group, chunk]
+                k_all = kv2[:, :KH]                          # [chunk, KH]
+                v_all = kv2[:, KH:]
+                sc = jax.lax.dot_general(
+                    q_blk, k_all.astype(q_blk.dtype), (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * sm_scale
+                sc = jnp.where(valid, sc, NEG_INF)          # [n_q, chunk]
 
-                    mi = jnp.maximum(m[h], jnp.max(sc, axis=-1, keepdims=True))
-                    pr = jnp.exp(sc - mi)
-                    scale = jnp.exp(m[h] - mi)
-                    li = l[h] * scale + jnp.sum(pr, axis=-1, keepdims=True)
-                    ai = acc[h] * scale + jax.lax.dot_general(
-                        pr.astype(q.dtype), vh.astype(q.dtype),
-                        (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                    new_m.append(mi)
-                    new_l.append(li)
-                    new_acc.append(ai)
-                return (jnp.stack(new_m), jnp.stack(new_l), jnp.stack(new_acc))
+                mi = jnp.maximum(m, jnp.max(sc, axis=-1, keepdims=True))
+                pr = jnp.exp(sc - mi)
+                scale = jnp.exp(m - mi)
+                li = l * scale + jnp.sum(pr, axis=-1, keepdims=True)
+                ai = acc * scale + jax.lax.dot_general(
+                    pr.astype(q.dtype), v_all.astype(q.dtype),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)      # [n_q, KH]
+                return (mi, li, ai)
 
             m, l, acc = jax.lax.fori_loop(0, nc, body, (m0, l0, a0))
 
             # Fold in the new token (key position seq_len-1) from VMEM.
-            outs = []
+            k_new_all = kv_new[:, :KH]                       # [1, KH] f32
+            v_new_all = kv_new[:, KH:]
+            s_new = jnp.sum(q_blk.astype(jnp.float32) * k_new_all,
+                            axis=-1, keepdims=True) * sm_scale   # [n_q, 1]
+            mi = jnp.maximum(m, s_new)
+            scale = jnp.exp(m - mi)
+            p_new = jnp.exp(s_new - mi)
+            l = l * scale + p_new
+            acc = acc * scale + p_new * v_new_all            # [n_q, KH]
+            acc = acc / jnp.maximum(l, 1e-30)
+
+            # Extract each row's own head block from the [n_q, KH] result.
+            out = jnp.zeros((n_q, hd), jnp.float32)
             for h in range(n_kv):
-                qh = q[h * group:(h + 1) * group, :].astype(jnp.float32)
-                k_new = kv_new[:, h * 2 * hd:h * 2 * hd + hd]
-                v_new = kv_new[:, h * 2 * hd + hd:(h + 1) * 2 * hd]
-                s_new = jnp.sum(qh * k_new, axis=-1, keepdims=True) * sm_scale
-                mi = jnp.maximum(m[h], s_new)
-                scale = jnp.exp(m[h] - mi)
-                p_new = jnp.exp(s_new - mi)
-                li = l[h] * scale + p_new
-                ai = acc[h] * scale + p_new * v_new
-                outs.append(ai / jnp.maximum(li, 1e-30))
-            out = jnp.concatenate(outs, axis=0)
+                rows_h = (jax.lax.broadcasted_iota(jnp.int32, (n_q, hd), 0)
+                          // group) == h
+                out = jnp.where(rows_h, acc[:, h * hd:(h + 1) * hd], out)
             o_ref[r * n_q:(r + 1) * n_q, :] = out.astype(o_ref.dtype)
             ctr_ref[0] = jax.lax.rem(base + nc, 2)
 

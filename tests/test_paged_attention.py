@@ -28,7 +28,7 @@ def make_case(rng, seq_specs, *, n_q=4, n_kv=2, hd=32, page_size=8, Pg=8,
 
     num_pages = B * Pg
     S = (num_pages + 1) * page_size
-    cache = rng.normal(size=(S, n_kv, 2, hd)).astype(dtype)
+    cache = rng.normal(size=(S, 2, n_kv, hd)).astype(dtype)
     q = rng.normal(size=(T, n_q, hd)).astype(dtype)
 
     q_starts = np.full(B, T, np.int32)
@@ -79,8 +79,8 @@ def compare(q, cache, batch, q_bucket, atol=2e-5, max_chunk_pages=None):
     # The kernel takes the FULL [L, S, ...] cache plus a layer index; exercise
     # a non-zero layer to cover the slot-offset arithmetic.
     stacked = jnp.stack([jnp.zeros_like(cache), cache, jnp.ones_like(cache)])
-    S, n_kv, _, hd = cache.shape
-    cache3 = stacked.reshape(3, S, n_kv * 2 * hd)
+    S, _, n_kv, hd = cache.shape
+    cache3 = stacked.reshape(3, S, 2 * n_kv * hd)
     if q_bucket == 1:
         # Fused store path: kv_new = the last position's actual K/V (layer 1).
         kv_new = cache3[1][np.asarray(batch.kv_slots)]     # [T, n_kv*2*hd]
