@@ -157,7 +157,7 @@ def test_engine_abort():
 
         async def client():
             gen = engine.add_request_and_stream(
-                RawRequest("", 1000, prompt_token_ids=list(range(8))))
+                RawRequest("", 200, prompt_token_ids=list(range(8))))
             req = None
             async for so in gen:
                 req = so.request
