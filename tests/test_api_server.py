@@ -75,3 +75,17 @@ def test_streaming_matches_non_streaming():
                 streamed.append(json.loads(line)["token_id"])
         assert streamed == r1["output_token_ids"]
     asyncio.run(_with_server(body))
+
+
+def test_profile_endpoints(tmp_path):
+    async def body(client):
+        r = await client.post("/profile/start", json={"dir": str(tmp_path)})
+        assert r.status == 200
+        # generate something while tracing
+        await client.post("/generate", json={"prompt_token_ids": [1, 2, 3],
+                                             "output_len": 2, "decode": False})
+        r = await client.post("/profile/stop")
+        assert r.status == 200
+        import os
+        assert any(os.scandir(tmp_path)), "trace directory should not be empty"
+    asyncio.run(_with_server(body))
