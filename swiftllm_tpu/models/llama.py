@@ -71,6 +71,15 @@ class StepBatch:
                                     #        from; -1 → use token_ids[t]
     feedback_write: jax.Array = 0   # i32[B] feedback slot to write row b's
                                     #        sampled token (pad rows → garbage)
+    # True-SARATHI mixed steps: 1-token rows ("decode kind") are packed first
+    # (flat token t == row index, the decode kernel's contract) and handled by
+    # the fused-update decode kernel; multi-token rows go through the tile
+    # kernel with an XLA scatter for their KV.
+    decode_row: jax.Array = False   # bool[B] row is decode-kind (n_tokens == 1)
+    kv_slots_scatter: jax.Array = 0  # i32[T] scatter destination per token:
+                                     #        real slot for prefill-kind tokens,
+                                     #        the garbage slot for decode-kind
+                                     #        (their write is fused in-kernel)
 
 
 def unpack_step_batch(flat: jax.Array, T: int, B: int, Pg: int) -> StepBatch:
@@ -97,13 +106,16 @@ def unpack_step_batch(flat: jax.Array, T: int, B: int, Pg: int) -> StepBatch:
     top_k = take(B)
     seeds = jax.lax.bitcast_convert_type(take(B), jnp.uint32)
     feedback_write = take(B)
+    decode_row = take(B) != 0
+    kv_slots_scatter = take(T)
     page_table = take(B * Pg).reshape(B, Pg)
     return StepBatch(token_ids=token_ids, positions=positions, kv_slots=kv_slots,
                      q_starts=q_starts, q_lens=q_lens, seq_lens=seq_lens,
                      page_table=page_table, sample_mask=sample_mask,
                      temperature=temperature, top_p=top_p, top_k=top_k,
                      seeds=seeds, feedback_read=feedback_read,
-                     feedback_write=feedback_write)
+                     feedback_write=feedback_write, decode_row=decode_row,
+                     kv_slots_scatter=kv_slots_scatter)
 
 
 # ---------------------------------------------------------------------------------
@@ -263,10 +275,25 @@ def _attention_and_store(q, kv_new, cache3, layer, batch, *, n_kv,
                 page_size=page_size, sm_scale=sm_eff, q_bucket=q_bucket,
                 kv_new=kv_new)
         else:
-            cache3 = cache3.at[layer, batch.kv_slots].set(kv_new)
-            attn = ragged_paged_attention(q, cache3, layer, batch, n_kv=n_kv,
-                                          page_size=page_size,
-                                          sm_scale=sm_eff, q_bucket=q_bucket)
+            # True-SARATHI mixed step: scatter the PREFILL tokens' KV
+            # (decode tokens target the garbage slot in kv_slots_scatter),
+            # run the fused-update decode kernel over the decode-kind rows
+            # (packed first, flat token == row), then the tile kernel over
+            # the prefill-kind rows against the updated cache.
+            cache3 = cache3.at[layer, batch.kv_slots_scatter].set(kv_new)
+            q_lens_dec = jnp.where(batch.decode_row, batch.q_lens, 0)
+            q_lens_pre = jnp.where(batch.decode_row, 0, batch.q_lens)
+            dec_batch = dataclasses.replace(batch, q_lens=q_lens_dec)
+            pre_batch = dataclasses.replace(batch, q_lens=q_lens_pre)
+            dec_out, cache3 = ragged_paged_attention(
+                q, cache3, layer, dec_batch, n_kv=n_kv, page_size=page_size,
+                sm_scale=sm_eff, q_bucket=1, kv_new=kv_new)
+            pre_out = ragged_paged_attention(
+                q, cache3, layer, pre_batch, n_kv=n_kv, page_size=page_size,
+                sm_scale=sm_eff, q_bucket=q_bucket)
+            n_dec = jnp.sum(batch.decode_row.astype(jnp.int32))
+            tok_iota = jnp.arange(T, dtype=jnp.int32)[:, None, None]
+            attn = jnp.where(tok_iota < n_dec, dec_out, pre_out)
     else:
         cache3 = cache3.at[layer, batch.kv_slots].set(kv_new)
         s_local = cache3.shape[1]

@@ -229,8 +229,14 @@ def _decode_kernel(
     def _():
         ctr_ref[0] = 0
         wpend_ref[0] = 0
-        start_chunk(0, 0, 0, pl.cdiv(seq_lens_ref[0] - 1, page_size),
-                    sel_ref[0])
+
+        # Row 0 may be masked off for this kernel (e.g. a prefill-only step's
+        # decode pass): an unconsumed prefetch leaves its DMA semaphores
+        # signaled at kernel exit, which the TPU runtime rejects.
+        @pl.when(q_lens_ref[0] > 0)
+        def _():
+            start_chunk(0, 0, 0, pl.cdiv(seq_lens_ref[0] - 1, page_size),
+                        sel_ref[0])
 
     for r in range(rows_per_step):
         b = g * rows_per_step + r
@@ -492,7 +498,7 @@ def ragged_paged_attention(q, cache3, layer, batch, *, n_kv: int,
                           list(_FAST_SIZES), 0)
         pages_per_layer = cache3.shape[1] // page_size
         fits = batch.page_table[:, 0] + pow2 <= pages_per_layer
-        sel = jnp.where((need > 0) & contig & fits
+        sel = jnp.where((need > 0) & (batch.q_lens[:B] > 0) & contig & fits
                         & (pow2 > 0) & (pow2 <= chunk_pages),
                         pow2, 0).astype(jnp.int32)
         R = 4 if B % 4 == 0 else 1      # rows per grid step

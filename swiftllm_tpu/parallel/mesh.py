@@ -99,6 +99,8 @@ BATCH_SPECS = {
     "seeds": P(AXIS_DP),
     "feedback_read": P(AXIS_DP),
     "feedback_write": P(AXIS_DP),
+    "decode_row": P(AXIS_DP),
+    "kv_slots_scatter": P(AXIS_DP),
 }
 
 # On-device last-sampled-token buffer, one slot per seq id per dp group

@@ -80,7 +80,6 @@ class Scheduler:
         self.swapped_q: deque[Request] = deque()
         self.num_free_cpu_blocks = engine_config.num_cpu_blocks
         self.request_id_manager = RequestIdManager(engine_config.max_seqs_in_block_table)
-        self._last_step_prefill = False   # alternate prefill/decode steps under load
 
     # --- helpers ---------------------------------------------------------------
     def _blocks_for_len(self, n_tokens: int) -> int:
@@ -165,26 +164,25 @@ class Scheduler:
         return ScheduleDecision(batch=batch, swap_in=swap_in, swap_out=swap_out)
 
     def _build_mixed_batch(self, blocks_used: int, allow_admission: bool) -> list[ScheduledSeq]:
-        """Chunked-prefill scheduling with SEPARATED step kinds: when any
-        prefill-stage work exists (in-flight chunks or admissible prompts),
-        emit a prefill-chunk-only batch; otherwise one decode token per running
-        seq. Chunking still bounds decode stalls to one chunk-step (the SARATHI
-        goal), and each step kind hits its efficient attention path — mixing
-        them in one token batch forces every 1-token decode row to pad to the
-        prefill q-tile (128 tokens of dead compute per decode row)."""
+        """TRUE SARATHI mixed batch: one decode token per running decode-stage
+        seq PLUS prefill chunks, in one step. The data plane routes 1-token
+        rows through the fused decode kernel and multi-token rows through the
+        prefill tile kernel within the same jitted program, so decodes never
+        stall behind prefill steps (the reference left this piggybacking as a
+        comment, scheduler.py:92-99)."""
         cfg = self.engine_config
         batch: list[ScheduledSeq] = []
         token_budget = cfg.max_tokens_in_batch
 
-        # Alternate under load: after a prefill step, give decodes a turn.
+        # Decode tokens first: TPOT is latency-critical; prefill fills the rest.
         decode_rows = [r for r in self.running_q if not r.is_prefill_stage()]
-        if self._last_step_prefill and decode_rows:
-            self._last_step_prefill = False
-            return [ScheduledSeq(r, 1) for r in decode_rows]
+        for r in decode_rows:
+            batch.append(ScheduledSeq(r, 1))
+            token_budget -= 1
 
         # (a) grow in-flight prefill chunks, FCFS.
         for r in self.running_q:
-            if not r.is_prefill_stage() or token_budget <= 0:
+            if not r.is_prefill_stage() or token_budget <= 1:
                 continue
             n = min(r.num_uncached_tokens(), cfg.prefill_chunk_size, token_budget)
             extra = self._blocks_after(r, n) - self._blocks_after(r, 1)
@@ -222,11 +220,7 @@ class Scheduler:
                 token_budget -= n
                 blocks_used += need
 
-        if batch:
-            self._last_step_prefill = True
-            return batch   # prefill-chunk step
-        self._last_step_prefill = False
-        return [ScheduledSeq(r, 1) for r in decode_rows]
+        return batch
 
     def _build_reference_style_batch(self, blocks_used: int,
                                      allow_admission: bool) -> list[ScheduledSeq]:

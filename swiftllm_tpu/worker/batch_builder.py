@@ -53,11 +53,18 @@ def tile_q_for(q_bucket: int) -> int:
 
 
 def select_buckets(groups: list[list[ScheduledSeq]], cfg: EngineConfig) -> BucketKey:
+    """Decode-kind rows (n_tokens == 1) pack densely; prefill rows tile-align."""
     max_rows = max(len(g) for g in groups)
     max_q = max((s.n_tokens for g in groups for s in g), default=1)
     q_len = next_power_of_2(max_q)
     align = tile_q_for(q_len)
-    max_tokens = max(sum(cdiv(s.n_tokens, align) * align for s in g) for g in groups)
+
+    def group_tokens(g):
+        n_dec = sum(1 for s in g if s.n_tokens == 1)
+        pre = sum(cdiv(s.n_tokens, align) * align for s in g if s.n_tokens > 1)
+        return cdiv(n_dec, align) * align + pre if pre else n_dec
+
+    max_tokens = max(group_tokens(g) for g in groups)
     max_pages = max((cdiv(s.request.num_cached_tokens + s.n_tokens, cfg.block_size)
                      for g in groups for s in g), default=1)
     return BucketKey(
@@ -103,14 +110,26 @@ def build_step_batch(
     garbage_fb_slot = cfg.max_seqs_in_block_table
     feedback_write = np.full((dp, B), garbage_fb_slot, np.int32)
 
+    decode_row = np.zeros((dp, B), bool)
+    kv_slots_scatter = np.zeros((dp, T), np.int32)
+
     rows: list[ScheduledSeq] = [None] * (dp * B)  # type: ignore
 
     for g, (group, mgr) in enumerate(zip(groups, block_mgrs)):
         assert len(group) <= B, f"dp group {g} has {len(group)} rows > bucket {B}"
         garbage_slot = mgr.num_blocks * ps
         kv_slots[g, :] = garbage_slot
+        kv_slots_scatter[g, :] = garbage_slot
+        # Decode-kind rows FIRST and packed densely so flat token == row index
+        # (the fused decode kernel's contract); prefill spans follow,
+        # tile-aligned for the tile kernel's DMAs.
+        group = sorted(group, key=lambda s: s.n_tokens > 1)
         cursor = 0
+        prev_was_decode = True
         for b, s in enumerate(group):
+            if s.n_tokens > 1 and prev_was_decode:
+                cursor = cdiv(cursor, align) * align if cursor else 0
+                prev_was_decode = False
             r = s.request
             n = s.n_tokens
             start, end = r.num_cached_tokens, r.num_cached_tokens + n
@@ -131,7 +150,12 @@ def build_step_batch(
             token_ids[g, cursor:cursor + n] = fed
             pos = np.arange(start, end, dtype=np.int32)
             positions[g, cursor:cursor + n] = pos
-            kv_slots[g, cursor:cursor + n] = pages[pos // ps] * ps + pos % ps
+            slots = pages[pos // ps] * ps + pos % ps
+            kv_slots[g, cursor:cursor + n] = slots
+            if n == 1:
+                decode_row[g, b] = True   # fused kernel writes this KV
+            else:
+                kv_slots_scatter[g, cursor:cursor + n] = slots
             q_starts[g, b] = cursor
             q_lens[g, b] = n
             seq_lens[g, b] = end
@@ -146,7 +170,7 @@ def build_step_batch(
             seeds[g, b] = np.uint32((np.uint64(r.sampling_seed) * np.uint64(2654435761)
                                      + np.uint64(end)) & np.uint64(0xFFFFFFFF))
             rows[g * B + b] = s
-            cursor += cdiv(n, align) * align   # tile-align the span for the kernel
+            cursor += n if n == 1 else cdiv(n, align) * align
         assert cursor <= T, f"dp group {g}: {cursor} tokens > bucket {T}"
 
     batch = StepBatch(
@@ -164,6 +188,8 @@ def build_step_batch(
         seeds=seeds.reshape(dp * B),
         feedback_read=feedback_read.reshape(dp * T),
         feedback_write=feedback_write.reshape(dp * B),
+        decode_row=decode_row.reshape(dp * B),
+        kv_slots_scatter=kv_slots_scatter.reshape(dp * T),
     )
     return batch, key, rows
 
@@ -190,6 +216,7 @@ def pack_step_batch(batch: StepBatch, dp: int) -> np.ndarray:
              i32(batch.q_starts), i32(batch.q_lens), i32(batch.seq_lens),
              i32(batch.sample_mask), i32(batch.temperature), i32(batch.top_p),
              i32(batch.top_k), i32(batch.seeds), i32(batch.feedback_write),
+             i32(batch.decode_row), i32(batch.kv_slots_scatter),
              i32(batch.page_table)]
     return np.concatenate(parts, axis=1).reshape(-1)
 

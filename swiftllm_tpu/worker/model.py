@@ -182,7 +182,7 @@ class LlamaModel:
         cache = jax.ShapeDtypeStruct(
             self._cache_shape(num_blocks), self.kv_dtype,
             sharding=self._cache_sharding)
-        flat_len = dp * (4 * key.tokens + 9 * key.rows + key.rows * key.pages)
+        flat_len = dp * (5 * key.tokens + 10 * key.rows + key.rows * key.pages)
         batch = jax.ShapeDtypeStruct((flat_len,), jnp.int32,
                                      sharding=self._flat_batch_sharding)
         params_sds = jax.tree.map(

@@ -63,9 +63,8 @@ def test_chunked_prefill_spans_steps():
     assert r.is_finished()           # last chunk sampled the single output token
 
 
-def test_prefill_and_decode_steps_alternate():
-    """Chunked prefill bounds decode stalls: after a prefill step, running
-    decodes get the next step before the new prompt's chunks continue."""
+def test_decode_piggybacks_with_prefill():
+    """True SARATHI: a decode token and a prefill chunk share one step."""
     sched = make_sched()
     a = make_req(4, output_len=8)
     sched.on_requests_arrival([a])
@@ -75,19 +74,9 @@ def test_prefill_and_decode_steps_alternate():
     # a is now decoding; a long prompt arrives
     b = make_req(16, output_len=1)
     sched.on_requests_arrival([b])
-    d = sched.get_next_batch()       # decode turn (previous step was prefill)
+    d = sched.get_next_batch()
     per_req = {s.request: s.n_tokens for s in d.batch}
-    assert per_req == {a: 1}
-    simulate_step(d)
-    sched.on_batch_finish(d.batch)
-    d = sched.get_next_batch()       # now b's first chunk
-    per_req = {s.request: s.n_tokens for s in d.batch}
-    assert per_req == {b: 8}
-    simulate_step(d)
-    sched.on_batch_finish(d.batch)
-    d = sched.get_next_batch()       # alternation: decode again
-    per_req = {s.request: s.n_tokens for s in d.batch}
-    assert per_req == {a: 1}
+    assert per_req == {a: 1, b: 8}   # decode token rides with b's first chunk
 
 
 def test_token_budget_respected():
