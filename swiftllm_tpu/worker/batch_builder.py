@@ -56,7 +56,11 @@ def select_buckets(groups: list[list[ScheduledSeq]], cfg: EngineConfig) -> Bucke
     """Decode-kind rows (n_tokens == 1) pack densely; prefill rows tile-align."""
     max_rows = max(len(g) for g in groups)
     max_q = max((s.n_tokens for g in groups for s in g), default=1)
-    q_len = next_power_of_2(max_q)
+    # Pin the q bucket: 1 (decode-only) or at least the full prefill chunk —
+    # tail chunks padding up beats a separate compiled program per tail size.
+    # (Direct forward() callers may feed more than a chunk; take the max.)
+    q_len = 1 if max_q == 1 else next_power_of_2(
+        max(max_q, min(cfg.prefill_chunk_size, cfg.max_tokens_in_batch)))
     align = tile_q_for(q_len)
 
     def group_tokens(g):
@@ -67,9 +71,14 @@ def select_buckets(groups: list[list[ScheduledSeq]], cfg: EngineConfig) -> Bucke
     max_tokens = max(group_tokens(g) for g in groups)
     max_pages = max((cdiv(s.request.num_cached_tokens + s.n_tokens, cfg.block_size)
                      for g in groups for s in g), default=1)
+    # The ROWS bucket is pinned to max_batch_size: masked pad rows cost ~1 µs
+    # each in the kernels, while every distinct bucket tuple is a separate
+    # tens-of-seconds XLA compile — and adaptive row counts vary with async
+    # arrival timing, defeating the compile cache run-over-run.
+    rows_bucket = next_power_of_2(cfg.max_batch_size)
     return BucketKey(
-        tokens=_pick_bucket(cfg.token_buckets, max(max_tokens, 1)),
-        rows=min(next_power_of_2(max(max_rows, 1)), next_power_of_2(cfg.max_batch_size)),
+        tokens=_pick_bucket(cfg.token_buckets, max(max_tokens, rows_bucket)),
+        rows=rows_bucket,
         pages=_pick_bucket(cfg.page_buckets, max_pages, hard=True),
         q_len=q_len,
     )
