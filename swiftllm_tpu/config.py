@@ -92,6 +92,17 @@ class EngineConfig:
                 buckets.append(b)
                 b *= 2
             buckets.append(self.max_tokens_in_batch)
+            # A decode-only step at full batch needs one token per row, and
+            # the scheduler's liveness guarantee (a full tile-padded decode
+            # block plus one prefill chunk tile always fits SOME bucket)
+            # needs covering even for tiny token budgets.
+            from swiftllm_tpu.utils import next_power_of_2, tile_q_for
+            rows = next_power_of_2(self.max_batch_size)
+            tile = tile_q_for(next_power_of_2(
+                min(self.prefill_chunk_size, self.max_tokens_in_batch)))
+            need = max(rows, cdiv(rows, tile) * tile + tile if tile > 1 else 1)
+            if need > buckets[-1]:
+                buckets.append(need)
             self.token_buckets = tuple(sorted(set(buckets)))
         if not self.page_buckets:
             buckets, b = [], 4

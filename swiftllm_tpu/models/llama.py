@@ -424,6 +424,13 @@ def forward_shard(
     # Publish samples to the feedback buffer (pad rows target the garbage slot).
     feedback = feedback.at[batch.feedback_write].set(tokens, mode="drop")
 
+    # Replicate the sampled tokens over dp (a [dp*B] i32 all-gather — bytes,
+    # not bandwidth): every host in a multi-host run can then read ALL groups'
+    # tokens from its own addressable shard, and the engine's resolve path
+    # never needs a cross-process fetch.
+    if jax.lax.axis_size(AXIS_DP) > 1:
+        tokens = jax.lax.all_gather(tokens, AXIS_DP, tiled=True)
+
     if return_logits:
         full = (jax.lax.all_gather(logits, AXIS_TP, axis=1, tiled=True)
                 if tp_size > 1 else logits)
@@ -445,7 +452,8 @@ def make_step_fn(mesh, cfg: LlamaModelConfig, *, page_size: int, q_bucket: int,
     quantized_lm_head = quant != "none" and not cfg.tie_word_embeddings
 
     PARAM_SPECS = param_specs(quant, quantized_lm_head=quantized_lm_head)
-    out_specs = ((P(AXIS_DP), KV_CACHE_SPEC, FEEDBACK_SPEC)
+    # Tokens come out replicated (all-gathered over dp inside forward_shard).
+    out_specs = ((P(), KV_CACHE_SPEC, FEEDBACK_SPEC)
                  + ((P(AXIS_DP, None),) if return_logits else ()))
 
     def step(params, kv_cache, feedback, flat_batch):

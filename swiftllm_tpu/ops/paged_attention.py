@@ -49,10 +49,24 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from swiftllm_tpu.utils import cdiv, next_power_of_2
-from swiftllm_tpu.worker.batch_builder import tile_q_for
+from swiftllm_tpu.utils import cdiv, next_power_of_2, tile_q_for
 
 NEG_INF = -1e30
+
+# v5e scalar memory (SMEM) is 1 MiB; the scalar-prefetched page table
+# [rows, Pg] i32 is by far its largest tenant. Reserve headroom for the other
+# per-row scalar vectors and the compiler's own scoped allocations.
+SMEM_BYTES = 1 << 20
+SMEM_HEADROOM = 64 * 1024
+
+
+def smem_pages_cap(rows: int) -> int:
+    """Largest pages-per-seq bucket whose scalar-prefetched page table still
+    fits SMEM at this row bucket (pow2-floored). Buckets beyond this cap fail
+    to compile ("Ran out of memory in memory space smem") until the planned
+    HBM-staged page-table path lands; profile/warmup must stay under it."""
+    cap = (SMEM_BYTES - SMEM_HEADROOM) // (4 * max(rows, 1))
+    return max(1, 1 << (cap.bit_length() - 1))
 
 
 def _wait_page_write(cache_out, w_buf, sem, layer, page_size):
@@ -448,8 +462,9 @@ def ragged_paged_attention(q, cache3, layer, batch, *, n_kv: int,
                            kv_new=None,
                            interpret: bool = False,
                            max_chunk_pages: int | None = None):
-    """q: [T, n_q, hd]; cache3: [L, S, n_kv*2*hd] — the FULL 3-D cache, lanes
-    per-head-interleaved K‖V ([k_0,v_0,k_1,v_1,...]). The kernel indexes the
+    """q: [T, n_q, hd]; cache3: [L, S, n_kv*2*hd] — the FULL 3-D cache
+    (per-shard), lanes laid out as [K_all ‖ V_all]: the shard's n_kv K heads
+    contiguous, then its V heads. The kernel indexes the
     layer (a traced scalar) directly on the HBM ref, so XLA never materializes
     a per-layer slice or a layout change of the cache.
 
@@ -481,6 +496,12 @@ def ragged_paged_attention(q, cache3, layer, batch, *, n_kv: int,
 
     if tile_q == 1:
         # Decode: the builder packs decode tokens so flat index == row index.
+        # CONTRACT: valid rows (q_lens > 0) must form a contiguous PREFIX of
+        # the batch — the kernel's cross-row DMA prefetch chain only checks
+        # row b+1, so a valid row after an invalid one would wait on a
+        # semaphore nobody signaled and hang the device. build_step_batch
+        # packs decode rows first, which guarantees this; direct callers must
+        # uphold it themselves (q_lens is traced, so it cannot be checked here).
         assert T >= B, f"decode path needs T({T}) >= B({B})"
         assert kv_new is not None, "decode path fuses the KV-cache update"
         kv_slots_l = batch.kv_slots[:B]

@@ -59,28 +59,89 @@ def global_mesh(dp_size: int, tp_size: int):
     return make_mesh(dp_size, tp_size, devices=jax.devices())
 
 
-def broadcast_step(flat_batch: np.ndarray | None, bucket_key=None):
+# --- SPMD control channel ---------------------------------------------------------
+# Every host must enter the SAME jitted program with the SAME shapes each
+# step (a pjit over a multi-host mesh requires every process to execute the
+# call). The primary announces each device-touching op over this channel in
+# program order; followers replay them in ``follower_loop``.
+
+OP_STEP = 0          # one serving step (header carries the bucket key)
+OP_STEP_LOGITS = 1   # a step with return_logits=True (debug/eval path)
+OP_STOP = 2          # shut the followers down
+
+_HEADER_LEN = 5      # [op, tokens, rows, pages, q_len]
+
+
+def exchange_op(op: int = OP_STEP, bucket_key=None,
+                flat_batch: np.ndarray | None = None, dp: int = 1):
+    """One control-channel round: the primary passes (op, key, flat); followers
+    pass nothing and receive the primary's values. Returns (op, key, flat)."""
+    import dataclasses
+
+    from jax.experimental import multihost_utils
+    header = np.zeros(_HEADER_LEN, np.int32)
+    if is_primary():
+        header[0] = op
+        if bucket_key is not None:
+            header[1:] = dataclasses.astuple(bucket_key)
+    header = multihost_utils.broadcast_one_to_all(header)
+    op = int(header[0])
+    if op == OP_STOP:
+        return op, None, None
+    from swiftllm_tpu.worker.batch_builder import BucketKey, packed_len
+    bkey = BucketKey(*[int(x) for x in header[1:]])
+    # The batch buffer's length is derived from the key via the packer's own
+    # formula on every host (a hand-copied formula went stale once already).
+    n = packed_len(bkey, dp)
+    if flat_batch is None:
+        flat_batch = np.zeros(n, np.int32)   # non-primary: receive-only
+    assert flat_batch.shape[0] == n, \
+        f"primary packed batch is {flat_batch.shape[0]} i32s, key implies {n}"
+    flat_batch = multihost_utils.broadcast_one_to_all(flat_batch)
+    return op, bkey, np.asarray(flat_batch)
+
+
+def broadcast_step(flat_batch: np.ndarray | None, bucket_key=None, dp: int = 1,
+                   return_logits: bool = False):
     """Broadcast process 0's packed step batch (+ bucket key) to every host.
 
     Non-primary processes pass flat_batch=None and receive process 0's data.
-    Single-process: returns the inputs unchanged. The bucket key rides along
-    as a small i32 vector so every host compiles/executes the same program.
-    """
+    Single-process: returns the inputs unchanged."""
     if jax.process_count() == 1:
         return flat_batch, bucket_key
-    from jax.experimental import multihost_utils
+    op = OP_STEP_LOGITS if return_logits else OP_STEP
+    _, bkey, flat = exchange_op(op, bucket_key, flat_batch, dp)
+    return flat, bkey
 
-    key_arr = (np.asarray(list(bucket_key), np.int32)
-               if bucket_key is not None else np.zeros(4, np.int32))
-    if flat_batch is None:
-        flat_batch = np.zeros(0, np.int32)   # shape agreed out-of-band below
-    # Broadcast the bucket key first (fixed shape), then the batch (its length
-    # is derivable from the key on every host).
-    key_arr = multihost_utils.broadcast_one_to_all(key_arr)
-    from swiftllm_tpu.worker.batch_builder import BucketKey
-    bkey = BucketKey(*[int(x) for x in key_arr])
-    n = 4 * bkey.tokens + 9 * bkey.rows + bkey.rows * bkey.pages
-    if flat_batch.shape[0] != n:
-        flat_batch = np.zeros(n, np.int32)
-    flat_batch = multihost_utils.broadcast_one_to_all(flat_batch)
-    return np.asarray(flat_batch), bkey
+
+def stop_followers():
+    """Primary: release every follower from its loop (idempotent enough for
+    shutdown paths — followers exit after the first STOP they see)."""
+    if jax.process_count() > 1 and is_primary():
+        exchange_op(OP_STOP)
+
+
+def follower_loop(model) -> None:
+    """Non-primary serving loop: replay the primary's broadcast steps on this
+    host's shard of the global mesh until OP_STOP.
+
+    The reference has no multi-host anything (SURVEY §2.5); this is the
+    "per-host engine with broadcasted batch metadata" the blueprint calls for
+    (SURVEY §7 step 7): scheduler/API run on process 0 only, every host runs
+    the same SPMD step."""
+    while True:
+        op, key, flat = exchange_op(dp=model.dp)   # receive-only
+        if op == OP_STOP:
+            return
+        model.execute_packed(flat, key, return_logits=(op == OP_STEP_LOGITS))
+
+
+def agree_num_blocks(num_blocks: int) -> int:
+    """All hosts must size the KV cache identically; take process 0's count
+    (memory profiling can differ slightly across hosts)."""
+    if jax.process_count() == 1:
+        return num_blocks
+    from jax.experimental import multihost_utils
+    out = multihost_utils.broadcast_one_to_all(
+        np.asarray([num_blocks], np.int32))
+    return int(out[0])

@@ -55,9 +55,11 @@ PARAM_SPECS = {
 }
 
 # KV cache [L, S, n_kv*2*hd]: flat slots sharded over dp (each dp group owns
-# its page pool), the lane axis sharded over tp at head granularity (lanes are
-# per-head-interleaved K‖V: [k_0,v_0,k_1,v_1,...], so a tp shard gets whole
-# heads). 3-D with no K/V axis so the jitted step NEVER reshapes the cache —
+# its page pool), the lane axis sharded over tp at head granularity. Each tp
+# shard's lane slice is laid out as [K_all ‖ V_all]: its n_kv_local K heads
+# contiguous, then its V heads (shard-local halves — each shard only touches
+# its own slice, so tp sharding is unaffected).
+# 3-D with no K/V axis so the jitted step NEVER reshapes the cache —
 # a reshape at the scan boundary breaks XLA's carry aliasing and costs two
 # full-cache copies per step (measured on v5e).
 KV_CACHE_SPEC = P(None, AXIS_DP, AXIS_TP)
@@ -107,7 +109,8 @@ BATCH_SPECS = {
 # (+1 garbage slot). Lets decode steps chain without host round-trips.
 FEEDBACK_SPEC = P(AXIS_DP)
 
-OUT_TOKEN_SPEC = P(AXIS_DP)     # sampled token per batch row
+OUT_TOKEN_SPEC = P()     # sampled tokens [dp*B], replicated (dp all-gathered
+                         # in-step so every host can read every group's tokens)
 
 
 def named(mesh: Mesh, spec_tree):

@@ -63,10 +63,11 @@ async def generate(request: web.Request) -> web.StreamResponse:
         await response.prepare(request)
         token_ids: list[int] = []
         prev_text_len = 0
-        req = None
+        # Submit first so a disconnect BEFORE the first token (request still
+        # queued or prefilling) also aborts — the handle exists from the start.
+        req = engine.submit(raw)
         try:
-            async for step_output in engine.add_request_and_stream(raw):
-                req = step_output.request
+            async for step_output in engine.stream_outputs(req):
                 token_ids.append(step_output.token_id)
                 event = {"token_id": step_output.token_id}
                 if do_decode:
@@ -80,7 +81,7 @@ async def generate(request: web.Request) -> web.StreamResponse:
                 await response.write((json.dumps(event) + "\n").encode())
         finally:
             # Client disconnect (write raises) or generator exit: free the seq.
-            if req is not None and not req.is_finished():
+            if not req.is_finished():
                 engine.abort_request(req)
         await response.write_eof()
         return response
@@ -120,6 +121,29 @@ async def main_coroutine(args: argparse.Namespace,
                          engine_config: EngineConfig | None = None,
                          model_config: LlamaModelConfig | None = None):
     engine_config = engine_config or EngineConfig.from_cli_args(args)
+
+    # Multi-host: bring up the process group (no-op without a coordinator).
+    # The scheduler + HTTP front-end run on process 0 only; every other host
+    # builds the same sharded model and replays the primary's broadcast steps.
+    from swiftllm_tpu.parallel import distributed
+    distributed.initialize()
+    import jax
+    if jax.process_count() > 1 and engine_config.num_cpu_blocks:
+        # KV host-offload is per-host-shard work; not yet supported multi-host
+        # (worker/model.py swap_out_seqs). Preemption degrades to none.
+        print("multi-host run: disabling KV host-offload (num_cpu_blocks=0)")
+        engine_config.num_cpu_blocks = 0
+    if not distributed.is_primary():
+        from swiftllm_tpu.worker.model import LlamaModel
+        model = LlamaModel(engine_config, model_config)
+        model.load_weights()
+        model.init_kvcache_and_swap()
+        print(f"swiftllm-tpu follower {__import__('jax').process_index()} "
+              f"ready; replaying primary's steps")
+        await asyncio.get_running_loop().run_in_executor(
+            None, distributed.follower_loop, model)
+        return
+
     engine = Engine(engine_config, model_config)
     await engine.initialize()
     app = build_app(engine)
@@ -134,8 +158,10 @@ async def main_coroutine(args: argparse.Namespace,
         await engine.start_all_event_loops()
     except Exception:
         traceback.print_exc()
+        distributed.stop_followers()
         os._exit(1)   # crash-and-die, as the reference (api_server.py:114-119)
     finally:
+        distributed.stop_followers()
         await runner.cleanup()
 
 

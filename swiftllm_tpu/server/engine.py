@@ -82,13 +82,14 @@ class Engine:
         """Build model, load weights, size + allocate the KV cache, create the
         scheduler and tokenizer (reference engine.py:37-63)."""
         cfg = self.engine_config
-        assert cfg.dp_size == 1, "the serving engine currently drives a tp-only mesh"
         from swiftllm_tpu.worker.model import LlamaModel
 
         self.model = LlamaModel(cfg, self.model_config)
         self.model.load_weights()
         self.model.init_kvcache_and_swap()
-        self.scheduler = Scheduler(self.model_config, cfg, self.model.num_hbm_blocks)
+        self.scheduler = Scheduler(self.model_config, cfg,
+                                   self.model.num_hbm_blocks,
+                                   dp_size=self.model.dp)
         self.tokenizer = TokenizationEngine(
             cfg.model_path, backend=tokenizer_backend, use_dummy=cfg.use_dummy,
             vocab_size=self.model_config.vocab_size)
@@ -131,7 +132,10 @@ class Engine:
             return False
         return True
 
-    def _submit(self, raw_request: RawRequest) -> Request:
+    def submit(self, raw_request: RawRequest) -> Request:
+        """Enqueue a request and return its handle immediately — so callers
+        hold something to ``abort_request`` even before the first token
+        (e.g. a client that disconnects while the request is still queued)."""
         req = Request(raw_request)
         if raw_request.prompt_token_ids is not None:
             req.set_prompt_token_ids(list(raw_request.prompt_token_ids))
@@ -143,12 +147,23 @@ class Engine:
         return req
 
     async def add_request_and_stream(self, raw_request: RawRequest):
-        """Submit and yield one StepOutput per generated token.
+        """Submit and yield one StepOutput per generated token. Aborts the
+        request if the consumer stops early (disconnect/cancel)."""
+        req = self.submit(raw_request)
+        try:
+            async for out in self.stream_outputs(req):
+                yield out
+        finally:
+            if not req.is_finished():
+                self.abort_request(req)
+
+    async def stream_outputs(self, req: Request):
+        """Yield one StepOutput per generated token of an already-submitted
+        request.
 
         The loop ends on the finish event + drained queue, NOT on
         ``is_finished()`` alone: with pipelined dispatch a request is
         finished-by-count one step before its last token value resolves."""
-        req = self._submit(raw_request)
         while True:
             get_task = asyncio.ensure_future(req.output_q.get())
             ev_task = asyncio.ensure_future(req.finished_event.wait())
@@ -166,9 +181,15 @@ class Engine:
                 break
 
     async def add_request_and_wait(self, raw_request: RawRequest) -> tuple[Request, list[int]]:
-        """Submit and wait for completion; returns (request, output_token_ids)."""
-        req = self._submit(raw_request)
-        await req.finished_event.wait()
+        """Submit and wait for completion; returns (request, output_token_ids).
+        If the wait is cancelled (e.g. the HTTP client disconnected), the
+        request is aborted so it stops holding KV pages and batch slots."""
+        req = self.submit(raw_request)
+        try:
+            await req.finished_event.wait()
+        except asyncio.CancelledError:
+            self.abort_request(req)
+            raise
         return req, req.output_token_ids
 
     def abort_request(self, req: Request):
@@ -219,51 +240,18 @@ class Engine:
         r.resources_freed = True
         self.model.free_seqs_resources([r])
         if getattr(r, "swapped", False):
-            if self.model.cpu_block_mgr is not None:
-                self.model.cpu_block_mgr.free_seq(r.seq_id)
+            self.model.free_swap_resources([r])
             self.scheduler.on_swap_in_done([r])   # return its CPU-block budget
-        self.scheduler.request_id_manager.free_id(r.seq_id)
-
-    def _reap_terminal(self):
-        """Remove finished/aborted requests from the scheduler queues and free
-        their pages/ids. Runs before every scheduling decision — in the
-        pipelined loop, finish-by-count is known at dispatch time while token
-        VALUES resolve one step later."""
-        sch = self.scheduler
-
-        def terminal(r):
-            return r.aborted or r.is_finished()
-
-        for r in sch.running_q:
-            if terminal(r):
-                self._release_request(r)
-                if r.aborted:
-                    r.finished_event.set()
-        sch.running_q = [r for r in sch.running_q if not terminal(r)]
-
-        if any(terminal(r) for r in sch.swapped_q):
-            for r in sch.swapped_q:
-                if terminal(r):
-                    self._release_request(r)
-                    r.finished_event.set()
-            sch.swapped_q = type(sch.swapped_q)(
-                r for r in sch.swapped_q if not terminal(r))
-
-        if any(r.aborted for r in sch.waiting_q):
-            for r in sch.waiting_q:
-                if r.aborted:
-                    r.finished_event.set()
-            sch.waiting_q = type(sch.waiting_q)(
-                r for r in sch.waiting_q if not r.aborted)
+        self.scheduler.id_manager_for(r).free_id(r.seq_id)
 
     async def _run_on_model_async(self, fn, *args):
         loop = asyncio.get_running_loop()
         return await loop.run_in_executor(self._model_executor, fn, *args)
 
-    def _dispatch(self, batch):
+    def _dispatch(self, batch, groups=None):
         """Dispatch one step and apply its COUNT effects (token values arrive
         at resolution). Returns the pending-step record."""
-        tokens_dev, rows = self.model.forward_async(batch)
+        tokens_dev, rows = self.model.forward_async(batch, groups=groups)
         entries = []   # (request, output position, batch row)
         for i, s in enumerate(rows):
             if s is None:
@@ -322,7 +310,10 @@ class Engine:
         opportunistically once their async device→host copies land. On a
         high-latency host↔chip link the resolve RTT spans several step times;
         a 1-deep pipeline would serialize on it."""
-        self._reap_terminal()
+        # Reap finished/aborted requests before every scheduling decision —
+        # finish-by-count is known at dispatch time while token VALUES
+        # resolve one step later.
+        self.scheduler.reap_terminal(self._release_request)
         decision = self.scheduler.get_next_batch()
 
         if decision.swap_out:
@@ -342,7 +333,8 @@ class Engine:
         progressed = bool(decision.batch or decision.swap_in or decision.swap_out)
         if decision.batch:
             self._pending_steps.append(
-                await self._run_on_model_async(self._dispatch, decision.batch))
+                await self._run_on_model_async(self._dispatch, decision.batch,
+                                               decision.groups))
 
         # Resolve: force the head while the pipeline is over-full, drain
         # everything whose copy already landed, and block on the head when

@@ -8,8 +8,16 @@ sequence, plus prefill chunks from in-flight and newly admitted prompts, under
 a flat-token budget. This matches the TPU data plane, which consumes a single
 flattened token batch per step.
 
+Data parallelism (beyond-reference, SURVEY §2.5 implications): with dp > 1 the
+step batch is a [dp, ...] stack and each dp group owns its own KV page pool,
+batch rows, and token budget. A request is pinned to a group at admission
+(``Request.dp_group``) and stays there for life — its KV pages live in that
+group's pool. Admission is still strict global FCFS: the queue head goes to
+the group with the most free pages; if it fits nowhere, nothing is admitted.
+
 Set ``enable_chunked_prefill=False`` for the reference's exact policy shape
-(whole-prompt prefill-only batches take priority; otherwise pure decode batches).
+(whole-prompt prefill-only batches take priority; otherwise pure decode
+batches; dp == 1 only).
 """
 
 from __future__ import annotations
@@ -19,12 +27,12 @@ from collections import deque
 
 from swiftllm_tpu.config import EngineConfig, LlamaModelConfig
 from swiftllm_tpu.server.structs import Request
-from swiftllm_tpu.utils import cdiv
+from swiftllm_tpu.utils import cdiv, next_power_of_2, tile_q_for
 
 
 class RequestIdManager:
     """Recycles sequence ids in [0, max_id) — each id doubles as the request's
-    row in the KV block table (reference scheduler.py:8-30)."""
+    row in its dp group's KV block table (reference scheduler.py:8-30)."""
 
     def __init__(self, max_id: int):
         self.max_id = max_id
@@ -59,9 +67,10 @@ class ScheduledSeq:
 
 @dataclasses.dataclass
 class ScheduleDecision:
-    batch: list[ScheduledSeq]
+    batch: list[ScheduledSeq]           # flat, group-major
     swap_in: list[Request]
     swap_out: list[Request]
+    groups: list[list[ScheduledSeq]] | None = None   # per-dp-group view
 
     @property
     def total_tokens(self) -> int:
@@ -70,23 +79,62 @@ class ScheduleDecision:
 
 class Scheduler:
     def __init__(self, model_config: LlamaModelConfig, engine_config: EngineConfig,
-                 num_hbm_blocks: int):
+                 num_hbm_blocks: int, dp_size: int | None = None):
+        """``num_hbm_blocks`` is the page budget PER dp group (each group owns
+        an equal slice of the pool — worker/model.py allocates one BlockManager
+        per group with exactly this many pages)."""
         self.model_config = model_config
         self.engine_config = engine_config
         self.num_hbm_blocks = num_hbm_blocks
+        self.dp = dp_size if dp_size is not None else engine_config.dp_size
 
         self.waiting_q: deque[Request] = deque()
-        self.running_q: list[Request] = []      # FCFS order
-        self.swapped_q: deque[Request] = deque()
+        self.running_qs: list[list[Request]] = [[] for _ in range(self.dp)]
+        self.swapped_qs: list[deque[Request]] = [deque() for _ in range(self.dp)]
         self.num_free_cpu_blocks = engine_config.num_cpu_blocks
-        self.request_id_manager = RequestIdManager(engine_config.max_seqs_in_block_table)
+        # Seq ids are per-group block-table rows (and per-group feedback
+        # slots), so each group recycles its own id space.
+        self.id_managers = [RequestIdManager(engine_config.max_seqs_in_block_table)
+                            for _ in range(self.dp)]
+
+    # --- dp == 1 compatibility views (reference-shaped API) ---------------------
+    @property
+    def request_id_manager(self) -> RequestIdManager:
+        assert self.dp == 1, "use id_manager_for(request) with dp > 1"
+        return self.id_managers[0]
+
+    def id_manager_for(self, req: Request) -> RequestIdManager:
+        return self.id_managers[getattr(req, "dp_group", 0)]
+
+    @property
+    def running_q(self) -> list[Request]:
+        return [r for q in self.running_qs for r in q]
+
+    @running_q.setter
+    def running_q(self, value: list[Request]):
+        keep = set(id(r) for r in value)
+        for g in range(self.dp):
+            self.running_qs[g] = [r for r in self.running_qs[g] if id(r) in keep]
+
+    @property
+    def swapped_q(self) -> deque[Request]:
+        if self.dp == 1:
+            return self.swapped_qs[0]
+        return deque(r for q in self.swapped_qs for r in q)
+
+    @swapped_q.setter
+    def swapped_q(self, value):
+        keep = set(id(r) for r in value)
+        for g in range(self.dp):
+            self.swapped_qs[g] = deque(r for r in self.swapped_qs[g]
+                                       if id(r) in keep)
 
     # --- helpers ---------------------------------------------------------------
     def _blocks_for_len(self, n_tokens: int) -> int:
         return cdiv(n_tokens, self.engine_config.block_size)
 
     def _blocks_held(self, req: Request) -> int:
-        """Pages currently held in HBM by a running request."""
+        """Pages currently held (in HBM or swap) by a request."""
         return self._blocks_for_len(req.num_cached_tokens)
 
     def _blocks_after(self, req: Request, n_new: int) -> int:
@@ -96,10 +144,23 @@ class Scheduler:
     def on_requests_arrival(self, requests: list[Request]):
         self.waiting_q.extend(requests)
 
-    def on_batch_finish(self, batch: list[ScheduledSeq]):
-        finished = [s.request for s in batch if s.request.is_finished()]
-        self.request_id_manager.free_ids([r.seq_id for r in finished])
-        self.running_q = [r for r in self.running_q if not r.is_finished()]
+    def on_batch_finish(self, batch: list[ScheduledSeq], model=None):
+        """Retire finished requests after a step (reference scheduler.py:131-144).
+
+        Releases each finished request's seq id (and, when ``model`` is given,
+        its KV pages) exactly once — guarded by ``Request.resources_freed``,
+        the same flag the Engine's pipelined release path uses, so direct-API
+        and engine-driven callers can never double-free ids."""
+        for s in batch:
+            r = s.request
+            if r.is_finished() and not r.resources_freed and r.seq_id >= 0:
+                r.resources_freed = True
+                if model is not None:
+                    model.free_seqs_resources([r])
+                self.id_manager_for(r).free_id(r.seq_id)
+        for g in range(self.dp):
+            self.running_qs[g] = [r for r in self.running_qs[g]
+                                  if not r.is_finished()]
 
     def on_swap_out_done(self, requests: list[Request]):
         for r in requests:
@@ -111,122 +172,223 @@ class Scheduler:
             self.num_free_cpu_blocks += self._blocks_held(r)
 
     def has_pending(self) -> bool:
-        return bool(self.waiting_q or self.running_q or self.swapped_q)
+        return bool(self.waiting_q or any(self.running_qs)
+                    or any(self.swapped_qs))
+
+    def reap_terminal(self, release_fn) -> None:
+        """Remove finished/aborted requests from every queue, calling
+        ``release_fn(request)`` for each removed request that may hold
+        resources. Used by the Engine before every scheduling decision (in
+        the pipelined loop, finish-by-count is known at dispatch time while
+        token VALUES resolve one step later)."""
+        def terminal(r: Request) -> bool:
+            return r.aborted or r.is_finished()
+
+        for g in range(self.dp):
+            for r in self.running_qs[g]:
+                if terminal(r):
+                    release_fn(r)
+                    if r.aborted:
+                        r.finished_event.set()
+            self.running_qs[g] = [r for r in self.running_qs[g]
+                                  if not terminal(r)]
+            if any(terminal(r) for r in self.swapped_qs[g]):
+                for r in self.swapped_qs[g]:
+                    if terminal(r):
+                        release_fn(r)
+                        r.finished_event.set()
+                self.swapped_qs[g] = deque(r for r in self.swapped_qs[g]
+                                           if not terminal(r))
+        if any(r.aborted for r in self.waiting_q):
+            for r in self.waiting_q:
+                if r.aborted:
+                    r.finished_event.set()
+            self.waiting_q = deque(r for r in self.waiting_q if not r.aborted)
 
     # --- the policy --------------------------------------------------------------
     def get_next_batch(self) -> ScheduleDecision:
         cfg = self.engine_config
         swap_out: list[Request] = []
-
-        # 1. Preempt (swap out) the FCFS tail while the running set cannot even
-        #    decode one token each within the HBM page / batch-row budget
-        #    (reference scheduler.py:105-114).
-        def running_blocks_needed():
-            return sum(self._blocks_after(r, 1) for r in self.running_q)
-
-        while self.running_q and (
-                len(self.running_q) > cfg.max_batch_size
-                or running_blocks_needed() > self.num_hbm_blocks):
-            victim = self.running_q.pop()
-            swap_out.append(victim)
-        if swap_out:
-            self.swapped_q.extendleft(reversed(swap_out))
-            # Oldest-preempted-first for the engine's copy loop, matching the
-            # reference's reversed() return (scheduler.py:129).
-            swap_out = list(reversed(swap_out))
-
-        blocks_used = running_blocks_needed()
-
-        # 2. If nothing was just preempted, try to swap requests back in, FCFS
-        #    (reference scheduler.py:116-127).
         swap_in: list[Request] = []
-        if not swap_out:
-            while self.swapped_q:
-                cand = self.swapped_q[0]
-                need = self._blocks_after(cand, 1)
-                if (len(self.running_q) + 1 <= cfg.max_batch_size
-                        and blocks_used + need <= self.num_hbm_blocks):
-                    self.swapped_q.popleft()
-                    self.running_q.append(cand)
-                    swap_in.append(cand)
-                    blocks_used += need
-                else:
-                    break
+        groups: list[list[ScheduledSeq]] = [[] for _ in range(self.dp)]
+        blocks_used = [0] * self.dp
+        self._group_state: dict[int, dict] = {}
+
+        for g in range(self.dp):
+            # 1. Preempt (swap out) the FCFS tail while this group's running
+            #    set cannot even decode one token each within its page / row
+            #    budget (reference scheduler.py:105-114).
+            run = self.running_qs[g]
+
+            def running_blocks_needed():
+                return sum(self._blocks_after(r, 1) for r in run)
+
+            g_swap_out: list[Request] = []
+            while run and (len(run) > cfg.max_batch_size
+                           or running_blocks_needed() > self.num_hbm_blocks):
+                g_swap_out.append(run.pop())
+            if g_swap_out:
+                self.swapped_qs[g].extendleft(reversed(g_swap_out))
+                # Oldest-preempted-first for the engine's copy loop, matching
+                # the reference's reversed() return (scheduler.py:129).
+                swap_out.extend(reversed(g_swap_out))
+            blocks_used[g] = running_blocks_needed()
+
+            # 2. If nothing was just preempted, swap requests back in, FCFS
+            #    (reference scheduler.py:116-127).
+            if not g_swap_out:
+                while self.swapped_qs[g]:
+                    cand = self.swapped_qs[g][0]
+                    need = self._blocks_after(cand, 1)
+                    if (len(run) + 1 <= cfg.max_batch_size
+                            and blocks_used[g] + need <= self.num_hbm_blocks):
+                        self.swapped_qs[g].popleft()
+                        run.append(cand)
+                        swap_in.append(cand)
+                        blocks_used[g] += need
+                    else:
+                        break
 
         # 3. Build the token batch.
         if cfg.enable_chunked_prefill:
-            batch = self._build_mixed_batch(blocks_used, allow_admission=not self.swapped_q
-                                            and not swap_out)
+            for g in range(self.dp):
+                groups[g] = self._build_group_batch(g, blocks_used)
+            if not swap_out:
+                self._admit_fcfs(groups, blocks_used)
         else:
-            batch = self._build_reference_style_batch(blocks_used,
-                                                      allow_admission=not self.swapped_q
-                                                      and not swap_out and not swap_in)
-        return ScheduleDecision(batch=batch, swap_in=swap_in, swap_out=swap_out)
+            assert self.dp == 1, \
+                "reference-style (non-chunked) scheduling supports dp == 1 only"
+            allow = not self.swapped_qs[0] and not swap_out and not swap_in
+            groups[0] = self._build_reference_style_batch(
+                blocks_used[0], allow_admission=allow)
 
-    def _build_mixed_batch(self, blocks_used: int, allow_admission: bool) -> list[ScheduledSeq]:
-        """TRUE SARATHI mixed batch: one decode token per running decode-stage
-        seq PLUS prefill chunks, in one step. The data plane routes 1-token
-        rows through the fused decode kernel and multi-token rows through the
-        prefill tile kernel within the same jitted program, so decodes never
-        stall behind prefill steps (the reference left this piggybacking as a
-        comment, scheduler.py:92-99)."""
+        batch = [s for g in groups for s in g]
+        return ScheduleDecision(batch=batch, swap_in=swap_in,
+                                swap_out=swap_out, groups=groups)
+
+    def _chunk_align(self) -> int:
+        """Tile-padding unit for prefill chunks (see _build_group_batch)."""
+        cfg = self.engine_config
+        return tile_q_for(next_power_of_2(
+            min(cfg.prefill_chunk_size, cfg.max_tokens_in_batch)))
+
+    def _build_group_batch(self, g: int, blocks_used: list[int]) -> list[ScheduledSeq]:
+        """TRUE SARATHI mixed batch for dp group g: one decode token per
+        running decode-stage seq PLUS prefill chunks for in-flight prompts.
+        The data plane routes 1-token rows through the fused decode kernel and
+        multi-token rows through the prefill tile kernel within the same
+        jitted program, so decodes never stall behind prefill steps (the
+        reference left this piggybacking as a comment, scheduler.py:92-99)."""
         cfg = self.engine_config
         batch: list[ScheduledSeq] = []
-        token_budget = cfg.max_tokens_in_batch
 
         # Decode tokens first: TPOT is latency-critical; prefill fills the rest.
-        decode_rows = [r for r in self.running_q if not r.is_prefill_stage()]
+        run = self.running_qs[g]
+        decode_rows = [r for r in run if not r.is_prefill_stage()]
         for r in decode_rows:
             batch.append(ScheduledSeq(r, 1))
-            token_budget -= 1
+
+        # Tile-padding-aware token budget: in a mixed step the batch builder
+        # pads the decode block and every prefill chunk up to the attention
+        # kernel's q tile, so admission must be checked in PADDED tokens or a
+        # step could silently need a larger compiled program than planned.
+        align = self._chunk_align()
+        # A budget smaller than one tile would deadlock admission; the config
+        # guarantees the largest token bucket covers at least one tile.
+        state = {"n_dec": len(decode_rows), "pre_padded": 0, "align": align,
+                 "budget": max(cfg.max_tokens_in_batch, align)}
 
         # (a) grow in-flight prefill chunks, FCFS.
-        for r in self.running_q:
-            if not r.is_prefill_stage() or token_budget <= 1:
+        for r in run:
+            if not r.is_prefill_stage():
                 continue
-            n = min(r.num_uncached_tokens(), cfg.prefill_chunk_size, token_budget)
+            n = min(r.num_uncached_tokens(), cfg.prefill_chunk_size,
+                    self._padded_avail(state))
+            if n <= 0:
+                continue
             extra = self._blocks_after(r, n) - self._blocks_after(r, 1)
-            if blocks_used + extra > self.num_hbm_blocks:
+            if blocks_used[g] + extra > self.num_hbm_blocks:
                 # Shrink the chunk to what fits in the pages we can actually get.
                 avail_pages = (self._blocks_after(r, 1)
-                               + max(0, self.num_hbm_blocks - blocks_used))
+                               + max(0, self.num_hbm_blocks - blocks_used[g]))
                 n = min(n, avail_pages * cfg.block_size - r.num_cached_tokens)
                 if n <= 0:
                     continue
                 extra = self._blocks_after(r, n) - self._blocks_after(r, 1)
             batch.append(ScheduledSeq(r, n))
-            token_budget -= n
-            blocks_used += extra
-
-        # (b) admit new requests, FCFS, while rows/tokens/pages remain.
-        if allow_admission:
-            while self.waiting_q and token_budget > 0:
-                cand = self.waiting_q[0]
-                n = min(cand.prompt_len, cfg.prefill_chunk_size, token_budget)
-                need = self._blocks_for_len(n)
-                # The whole prompt (+1 for the first sampled token) must be able to
-                # fit in HBM *alone*, else the request can never run to a sample.
-                ever_fits = self._blocks_for_len(cand.prompt_len + 1) <= self.num_hbm_blocks
-                if (not ever_fits
-                        or len(self.running_q) + 1 > cfg.max_batch_size
-                        or len(batch) + 1 > cfg.max_batch_size
-                        or blocks_used + need > self.num_hbm_blocks
-                        or n < min(cand.prompt_len, cfg.prefill_chunk_size)):
-                    break   # strict FCFS: don't skip ahead
-                self.waiting_q.popleft()
-                cand.seq_id = self.request_id_manager.get_id()
-                self.running_q.append(cand)
-                batch.append(ScheduledSeq(cand, n))
-                token_budget -= n
-                blocks_used += need
-
+            state["pre_padded"] += cdiv(n, align) * align
+            blocks_used[g] += extra
+        # Stash the budget state for the admission pass.
+        self._group_state[g] = state
         return batch
+
+    @staticmethod
+    def _padded_avail(state: dict) -> int:
+        """Largest tile-padded prefill chunk that still fits a group's budget."""
+        align = state["align"]
+        dec_pad = cdiv(state["n_dec"], align) * align
+        free = state["budget"] - dec_pad - state["pre_padded"]
+        avail = (free // align) * align
+        if avail <= 0 and state["pre_padded"] == 0:
+            # Liveness: decode-block padding alone must never starve prefill
+            # forever (tiny budgets where align ≈ budget). One chunk per step
+            # minimum; the config guarantees a token bucket covering a full
+            # decode block plus one tile.
+            return align
+        return avail
+
+    def _admit_fcfs(self, groups: list[list[ScheduledSeq]],
+                    blocks_used: list[int]):
+        """Admit new requests, strict global FCFS: the queue head is pinned to
+        the group with the most free pages; if it fits nowhere, nothing later
+        in the queue is considered (reference's no-skip-ahead)."""
+        cfg = self.engine_config
+        # Admission pauses while anything sits swapped out (the reference's
+        # rule: drain the swap backlog before taking new work).
+        if any(self.swapped_qs):
+            return
+        while self.waiting_q:
+            cand = self.waiting_q[0]
+            # The whole prompt (+1 for the first sampled token) must be able
+            # to fit in ONE group's pool alone, else it can never run.
+            if self._blocks_for_len(cand.prompt_len + 1) > self.num_hbm_blocks:
+                break
+            best, best_free = -1, -1
+            for g in range(self.dp):
+                st = self._group_state[g]
+                n = min(cand.prompt_len, cfg.prefill_chunk_size,
+                        self._padded_avail(st))
+                if n < min(cand.prompt_len, cfg.prefill_chunk_size):
+                    continue   # group lacks token budget for a full chunk
+                if (len(self.running_qs[g]) + 1 > cfg.max_batch_size
+                        or len(groups[g]) + 1 > cfg.max_batch_size):
+                    continue
+                need = self._blocks_for_len(n)
+                free = self.num_hbm_blocks - blocks_used[g]
+                if need > free:
+                    continue
+                if free > best_free:
+                    best, best_free = g, free
+            if best < 0:
+                break   # strict FCFS: don't skip ahead
+            g = best
+            n = min(cand.prompt_len, cfg.prefill_chunk_size)
+            self.waiting_q.popleft()
+            cand.dp_group = g
+            cand.seq_id = self.id_managers[g].get_id()
+            self.running_qs[g].append(cand)
+            groups[g].append(ScheduledSeq(cand, n))
+            self._group_state[g]["pre_padded"] += (
+                cdiv(n, self._group_state[g]["align"])
+                * self._group_state[g]["align"])
+            blocks_used[g] += self._blocks_for_len(n)
 
     def _build_reference_style_batch(self, blocks_used: int,
                                      allow_admission: bool) -> list[ScheduledSeq]:
         """Reference policy shape (scheduler.py:73-129): a batch is either whole-prompt
         prefills for newly admitted requests, or one decode token per running seq."""
         cfg = self.engine_config
+        run = self.running_qs[0]
         if allow_admission and self.waiting_q:
             cur: list[ScheduledSeq] = []
             cur_blocks = 0
@@ -235,17 +397,18 @@ class Scheduler:
                 cand = self.waiting_q[0]
                 need = self._blocks_for_len(cand.prompt_len)
                 if (len(cur) + 1 <= cfg.max_batch_size
-                        and len(self.running_q) + len(cur) + 1 <= cfg.max_batch_size
+                        and len(run) + len(cur) + 1 <= cfg.max_batch_size
                         and blocks_used + cur_blocks + need <= self.num_hbm_blocks
                         and cur_tokens + cand.prompt_len <= cfg.max_tokens_in_batch):
                     self.waiting_q.popleft()
-                    cand.seq_id = self.request_id_manager.get_id()
+                    cand.dp_group = 0
+                    cand.seq_id = self.id_managers[0].get_id()
                     cur.append(ScheduledSeq(cand, cand.prompt_len))
                     cur_blocks += need
                     cur_tokens += cand.prompt_len
                 else:
                     break
             if cur:
-                self.running_q.extend(s.request for s in cur)
+                run.extend(s.request for s in cur)
                 return cur
-        return [ScheduledSeq(r, 1) for r in self.running_q if not r.is_prefill_stage()]
+        return [ScheduledSeq(r, 1) for r in run if not r.is_prefill_stage()]

@@ -59,7 +59,9 @@ class Request:
                               else next(_req_counter) + 0x9E3779B9)
         self.output_token_ids: list[int] = []
         self.num_cached_tokens = 0     # tokens whose KV already lives in the cache
-        self.seq_id = -1               # row in the block table, assigned on admission
+        self.seq_id = -1               # row in its group's block table, assigned on admission
+        self.dp_group = 0              # dp group the request is pinned to (sticky:
+                                       # its KV pages live in that group's pool)
         self.req_index = next(_req_counter)   # global arrival order (FCFS key)
         self.stopped_on_eos = False
         self.aborted = False

@@ -20,7 +20,7 @@ import numpy as np
 from swiftllm_tpu.config import EngineConfig
 from swiftllm_tpu.models.llama import StepBatch
 from swiftllm_tpu.server.scheduler import ScheduledSeq
-from swiftllm_tpu.utils import cdiv, next_power_of_2
+from swiftllm_tpu.utils import cdiv, next_power_of_2, tile_q_for
 from swiftllm_tpu.worker.block_manager import BlockManager
 
 
@@ -40,16 +40,6 @@ def _pick_bucket(buckets: tuple[int, ...], needed: int, hard: bool = False) -> i
     if hard:
         raise RuntimeError(f"needed {needed} exceeds largest bucket {buckets[-1]}")
     return next_power_of_2(needed)
-
-
-def tile_q_for(q_bucket: int) -> int:
-    """Q-tile used by the Pallas attention kernel for a given Q bucket. The
-    builder aligns every sequence's flat token span to this tile so kernel
-    tiles never straddle two sequences. Minimum 16 rows (the bf16 sublane
-    tile) so dynamic row-slices of the flat q/o arrays stay tile-aligned."""
-    if q_bucket == 1:
-        return 1
-    return min(max(next_power_of_2(q_bucket), 16), 128)
 
 
 def select_buckets(groups: list[list[ScheduledSeq]], cfg: EngineConfig) -> BucketKey:
@@ -76,8 +66,12 @@ def select_buckets(groups: list[list[ScheduledSeq]], cfg: EngineConfig) -> Bucke
     # tens-of-seconds XLA compile — and adaptive row counts vary with async
     # arrival timing, defeating the compile cache run-over-run.
     rows_bucket = next_power_of_2(cfg.max_batch_size)
+    # hard=True: tile padding must never silently compile an unplanned larger
+    # program (the scheduler reserves per-chunk alignment in its token budget;
+    # direct forward() callers get a clear error instead of a surprise bucket).
     return BucketKey(
-        tokens=_pick_bucket(cfg.token_buckets, max(max_tokens, rows_bucket)),
+        tokens=_pick_bucket(cfg.token_buckets, max(max_tokens, rows_bucket),
+                            hard=True),
         rows=rows_bucket,
         pages=_pick_bucket(cfg.page_buckets, max_pages, hard=True),
         q_len=q_len,
@@ -201,6 +195,21 @@ def build_step_batch(
         kv_slots_scatter=kv_slots_scatter.reshape(dp * T),
     )
     return batch, key, rows
+
+
+# Packed-buffer layout: 5 token-axis fields (token_ids, positions, kv_slots,
+# feedback_read, kv_slots_scatter), 10 row-axis fields, and the [B, Pg] page
+# table — see pack_step_batch below. packed_len is THE single source of truth
+# for the buffer length (model._lower and distributed.broadcast_step both
+# derive from it; a hand-copied formula went stale once already).
+N_TOKEN_FIELDS = 5
+N_ROW_FIELDS = 10
+
+
+def packed_len(key: BucketKey, dp: int = 1) -> int:
+    """Length of the flat i32 buffer pack_step_batch emits for this bucket."""
+    return dp * (N_TOKEN_FIELDS * key.tokens + N_ROW_FIELDS * key.rows
+                 + key.rows * key.pages)
 
 
 def pack_step_batch(batch: StepBatch, dp: int) -> np.ndarray:

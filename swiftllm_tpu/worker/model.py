@@ -88,9 +88,10 @@ class LlamaModel:
         return sum(x.nbytes for x in jax.tree.leaves(self.params))
 
     def _cache_shape(self, num_blocks_per_shard: int) -> tuple[int, ...]:
-        """3-D [L, S, n_kv*2*hd] with per-head-interleaved K‖V lanes — stored in
-        exactly the shape the jitted step scans over (a reshape at the scan
-        boundary breaks XLA carry aliasing: two full-cache copies per step)."""
+        """3-D [L, S, n_kv*2*hd]; each tp shard's lane slice is [K_all ‖ V_all]
+        (its K heads contiguous, then its V heads) — stored in exactly the
+        shape the jitted step scans over (a reshape at the scan boundary
+        breaks XLA carry aliasing: two full-cache copies per step)."""
         mc, cfg = self.model_config, self.engine_config
         s_local = (num_blocks_per_shard + 1) * cfg.block_size   # +1 garbage page
         return (mc.num_layers, self.dp * s_local, self.num_kv_eff * 2 * mc.head_dim)
@@ -106,10 +107,15 @@ class LlamaModel:
         limit = stats.get("bytes_limit", 16 * GB)
         in_use = stats.get("bytes_in_use", self._weights_bytes())
 
-        # Compile the worst-case bucket to learn peak temp usage.
+        # Compile the worst-case bucket to learn peak temp usage. The pages
+        # bucket is capped by the kernel's SMEM page-table budget (temp usage
+        # scales with the token/row buckets, not with Pg).
+        from swiftllm_tpu.ops.paged_attention import smem_pages_cap
+        rows = next_power_of_2(cfg.max_batch_size)
+        pages = min(cfg.page_buckets[-1], smem_pages_cap(rows))
         key = BucketKey(tokens=cfg.token_buckets[-1],
-                        rows=next_power_of_2(cfg.max_batch_size),
-                        pages=cfg.page_buckets[-1],
+                        rows=rows,
+                        pages=pages,
                         q_len=next_power_of_2(min(cfg.prefill_chunk_size,
                                                   cfg.max_tokens_in_batch)))
         probe_blocks = max(key.pages, 1)
@@ -134,6 +140,11 @@ class LlamaModel:
         mc = self.model_config
         if num_blocks_per_shard is None:
             num_blocks_per_shard = self.profile_num_blocks()
+        if jax.process_count() > 1:
+            # Every host must size the cache identically (profiling can
+            # differ slightly across hosts); process 0's count wins.
+            from swiftllm_tpu.parallel.distributed import agree_num_blocks
+            num_blocks_per_shard = agree_num_blocks(num_blocks_per_shard)
         self.num_blocks_per_shard = num_blocks_per_shard
         shape = self._cache_shape(num_blocks_per_shard)
         self.kv_cache = jax.jit(
@@ -147,9 +158,11 @@ class LlamaModel:
             BlockManager(f"hbm{g}", num_blocks_per_shard, cfg.block_size,
                          cfg.max_seqs_in_block_table, cfg.max_blocks_per_seq)
             for g in range(self.dp)]
+        # One host swap pool shared by all dp groups; rows are keyed by
+        # (dp_group, seq_id) since seq ids are per-group (see _cpu_key).
         self.cpu_block_mgr = BlockManager(
             "cpu", cfg.num_cpu_blocks, cfg.block_size,
-            cfg.max_seqs_in_block_table, cfg.max_blocks_per_seq)
+            self.dp * cfg.max_seqs_in_block_table, cfg.max_blocks_per_seq)
         if cfg.num_cpu_blocks > 0:
             self.cpu_cache = np.zeros(
                 (mc.num_layers, cfg.num_cpu_blocks * cfg.block_size,
@@ -182,8 +195,8 @@ class LlamaModel:
         cache = jax.ShapeDtypeStruct(
             self._cache_shape(num_blocks), self.kv_dtype,
             sharding=self._cache_sharding)
-        flat_len = dp * (5 * key.tokens + 10 * key.rows + key.rows * key.pages)
-        batch = jax.ShapeDtypeStruct((flat_len,), jnp.int32,
+        from swiftllm_tpu.worker.batch_builder import packed_len
+        batch = jax.ShapeDtypeStruct((packed_len(key, dp),), jnp.int32,
                                      sharding=self._flat_batch_sharding)
         params_sds = jax.tree.map(
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding),
@@ -214,8 +227,26 @@ class LlamaModel:
         batch_np, key, rows = build_step_batch(groups, self.hbm_block_mgrs,
                                                self.engine_config)
         from swiftllm_tpu.worker.batch_builder import pack_step_batch
-        flat = jax.device_put(pack_step_batch(batch_np, self.dp),
-                              self._flat_batch_sharding)
+        flat_np = pack_step_batch(batch_np, self.dp)
+        if jax.process_count() > 1:
+            # Multi-host: announce this step so every follower enters the same
+            # compiled program with the same batch (parallel/distributed.py).
+            from swiftllm_tpu.parallel.distributed import broadcast_step
+            flat_np, key = broadcast_step(flat_np, key, dp=self.dp,
+                                          return_logits=return_logits)
+        out = self.execute_packed(flat_np, key, return_logits)
+        if return_logits:
+            tokens, logits = out
+            return tokens, rows, logits
+        return out, rows
+
+    def execute_packed(self, flat_np: np.ndarray, key: BucketKey,
+                       return_logits: bool = False):
+        """Run one step from an already-packed batch buffer (the follower path
+        of a multi-host run, and the tail of forward_async). Returns the
+        device tokens array (with the host copy started) — or (tokens, logits)
+        when return_logits."""
+        flat = jax.device_put(flat_np, self._flat_batch_sharding)
         step = self._get_step_fn(key, return_logits)
         out = step(self.params, self.kv_cache, self.token_feedback, flat)
         if return_logits:
@@ -226,9 +257,7 @@ class LlamaModel:
             tokens.copy_to_host_async()
         except AttributeError:
             pass
-        if return_logits:
-            return tokens, rows, logits
-        return tokens, rows
+        return (tokens, logits) if return_logits else tokens
 
     def forward(self, scheduled: list[ScheduledSeq],
                 groups: list[list[ScheduledSeq]] | None = None,
@@ -272,12 +301,23 @@ class LlamaModel:
             self._swap_fns[k] = jax.jit(scatter, donate_argnums=(0,))
         return self._swap_fns[k]
 
-    def _pad_pages(self, pages: np.ndarray) -> tuple[np.ndarray, int]:
-        """Pad a page-id list to a pow2 bucket (pointing extras at the garbage
-        page) to bound swap-fn recompiles."""
+    def _cpu_key(self, r: Request) -> int:
+        """Row in the (shared) host swap pool: seq ids are per-dp-group."""
+        return r.dp_group * self.engine_config.max_seqs_in_block_table + r.seq_id
+
+    def _global_pages(self, g: int, pages) -> np.ndarray:
+        """Group-local page ids → flat page ids into the [L, dp*S_local, ..]
+        cache (each group's pool occupies a contiguous slot range, matching
+        the "dp" sharding of axis 1)."""
+        return np.asarray(pages) + g * (self.num_blocks_per_shard + 1)
+
+    def _pad_pages(self, pages: np.ndarray, garbage_page: int) -> tuple[np.ndarray, int]:
+        """Pad a page-id list to a pow2 bucket (pointing extras at the group's
+        garbage page, keeping padded traffic within its shard) to bound
+        swap-fn recompiles."""
         n = len(pages)
         bucket = next_power_of_2(max(n, 1))
-        padded = np.full(bucket, self.num_blocks_per_shard, np.int32)  # garbage page
+        padded = np.full(bucket, garbage_page, np.int32)
         padded[:n] = pages
         return padded, n
 
@@ -287,14 +327,20 @@ class LlamaModel:
                 * self.kv_dtype.itemsize)
 
     def swap_out_seqs(self, requests: list[Request]):
-        assert self.dp == 1, "swap with dp>1 not yet supported"
+        assert jax.process_count() == 1, \
+            "KV host-offload on multi-host runs is not yet supported: each " \
+            "host would need to gather/stage only its addressable cache " \
+            "shard; run with num_cpu_blocks=0"
         from swiftllm_tpu.native import copy_pages
-        cfg = self.engine_config
-        hbm, cpu = self.hbm_block_mgrs[0], self.cpu_block_mgr
+        cpu = self.cpu_block_mgr
         for r in requests:
-            src_pages = hbm.seq_block_ids(r.seq_id).copy()
-            dst_pages = cpu.allocate_fresh_for_seq(r.seq_id, r.num_cached_tokens)
-            padded, n = self._pad_pages(src_pages)
+            g = r.dp_group
+            hbm = self.hbm_block_mgrs[g]
+            src_pages = self._global_pages(g, hbm.seq_block_ids(r.seq_id))
+            dst_pages = cpu.allocate_fresh_for_seq(self._cpu_key(r),
+                                                   r.num_cached_tokens)
+            padded, n = self._pad_pages(
+                src_pages, int(self._global_pages(g, self.num_blocks_per_shard)))
             data = self._swap_gather_fn(len(padded))(self.kv_cache, jnp.asarray(padded))
             data = np.ascontiguousarray(jax.device_get(data))
             # Host scatter staging→swap-cache: native run-coalesced memcpy.
@@ -303,14 +349,17 @@ class LlamaModel:
             hbm.free_seq(r.seq_id)
 
     def swap_in_seqs(self, requests: list[Request]):
-        assert self.dp == 1, "swap with dp>1 not yet supported"
         from swiftllm_tpu.native import copy_pages
         cfg = self.engine_config
-        hbm, cpu = self.hbm_block_mgrs[0], self.cpu_block_mgr
+        cpu = self.cpu_block_mgr
         for r in requests:
-            src_pages = cpu.seq_block_ids(r.seq_id).copy()
-            dst_pages = hbm.allocate_fresh_for_seq(r.seq_id, r.num_cached_tokens)
-            padded, n = self._pad_pages(dst_pages)
+            g = r.dp_group
+            hbm = self.hbm_block_mgrs[g]
+            src_pages = cpu.seq_block_ids(self._cpu_key(r)).copy()
+            dst_local = hbm.allocate_fresh_for_seq(r.seq_id, r.num_cached_tokens)
+            padded, n = self._pad_pages(
+                self._global_pages(g, dst_local),
+                int(self._global_pages(g, self.num_blocks_per_shard)))
             pad_data = np.zeros((self.model_config.num_layers,
                                  len(padded) * cfg.block_size,
                                  self.num_kv_eff * 2 * self.model_config.head_dim),
@@ -320,10 +369,15 @@ class LlamaModel:
                        np.arange(n, dtype=np.int32), src_pages, self._page_bytes())
             self.kv_cache = self._swap_scatter_fn(len(padded))(
                 self.kv_cache, jnp.asarray(padded), jnp.asarray(pad_data))
-            cpu.free_seq(r.seq_id)
+            cpu.free_seq(self._cpu_key(r))
 
     def free_seqs_resources(self, requests: list[Request]):
         """Release all pages of finished sequences (reference model.py:401-408)."""
         for r in requests:
-            for mgr in self.hbm_block_mgrs:
-                mgr.free_seq(r.seq_id)
+            self.hbm_block_mgrs[r.dp_group].free_seq(r.seq_id)
+
+    def free_swap_resources(self, requests: list[Request]):
+        """Release the host swap pages of requests that died while swapped out."""
+        if self.cpu_block_mgr is not None:
+            for r in requests:
+                self.cpu_block_mgr.free_seq(self._cpu_key(r))

@@ -200,3 +200,34 @@ def test_engine_rejects_overlong_request():
         req, out = await run_engine(engine, client())
         assert req.aborted and out == []
     asyncio.run(body())
+
+
+def test_engine_dp_serving():
+    """dp=2 x tp=2 on the virtual device mesh: the engine pins requests to dp
+    groups at admission (sticky — each group owns its own page pool and id
+    space), builds per-group batches, and one SPMD program serves both."""
+    async def body():
+        ec = tiny_engine_config(dp_size=2, tp_size=2, num_hbm_blocks=32,
+                                num_cpu_blocks=0, max_batch_size=4)
+        engine = make_engine(ec)
+        await engine.initialize(tokenizer_backend="inline")
+
+        async def clients():
+            return await asyncio.gather(*[
+                engine.add_request_and_wait(
+                    RawRequest("", 6, prompt_token_ids=[(3 * i + j) % 256
+                                                        for j in range(10 + i)]))
+                for i in range(6)])
+
+        outs = await run_engine(engine, clients(), timeout=300)
+        for r, out in outs:
+            assert len(out) == 6
+        assert {r.dp_group for r, _ in outs} == {0, 1}, \
+            "admission should spread requests across both dp groups"
+        # every page in every group's pool must be back
+        for mgr in engine.model.hbm_block_mgrs:
+            assert mgr.num_free_blocks == mgr.num_blocks
+        # per-group id spaces fully recycled
+        for mgr in engine.scheduler.id_managers:
+            assert len(mgr.available_ids) == ec.max_seqs_in_block_table
+    asyncio.run(body())
