@@ -318,6 +318,7 @@ def forward_shard(
     use_pallas: bool,
     kv_scale: float = 1.0,
     return_logits: bool = False,
+    use_sampler: bool = True,
 ):
     """Per-shard SPMD body. Runs inside shard_map; collectives over "tp".
 
@@ -405,7 +406,7 @@ def forward_shard(
     x_pad = jnp.concatenate([x, jnp.zeros((1, x.shape[1]), x.dtype)], axis=0)
     h_last = x_pad[last_tok]                                                # [B, D]
     lm_head = params["lm_head"]
-    if isinstance(lm_head, dict):   # quantized [D, V_local] GEMM layout
+    if isinstance(lm_head, dict):   # quantized [V_local, D] ([out, in]) layout
         from swiftllm_tpu.worker.quant import proj as _qproj
         logits = _qproj(h_last, lm_head).astype(jnp.float32)                # [B, V_local]
     else:
@@ -415,11 +416,16 @@ def forward_shard(
     vocab_ids = tp_rank * v_local + jnp.arange(v_local, dtype=jnp.int32)
     logits = jnp.where(vocab_ids[None, :] < cfg.vocab_size, logits, -jnp.inf)
 
-    from swiftllm_tpu.models.sampling import sample_tokens
-    tokens = sample_tokens(
-        logits, temperature=batch.temperature, top_p=batch.top_p,
-        top_k=batch.top_k, seeds=batch.seeds, v_local=v_local,
-        tp_axis=AXIS_TP, tp_size=tp_size, tp_rank=tp_rank)
+    from swiftllm_tpu.models.sampling import exact_greedy, sample_tokens
+    if use_sampler:
+        tokens = sample_tokens(
+            logits, temperature=batch.temperature, top_p=batch.top_p,
+            top_k=batch.top_k, seeds=batch.seeds, v_local=v_local,
+            tp_axis=AXIS_TP, tp_size=tp_size, tp_rank=tp_rank)
+    else:
+        # All-greedy batch: the bucket key selects this variant so greedy
+        # serving never pays the sampling machinery.
+        tokens = exact_greedy(logits, v_local, AXIS_TP, tp_size)
 
     # Publish samples to the feedback buffer (pad rows target the garbage slot).
     feedback = feedback.at[batch.feedback_write].set(tokens, mode="drop")
@@ -442,7 +448,7 @@ def forward_shard(
 def make_step_fn(mesh, cfg: LlamaModelConfig, *, page_size: int, q_bucket: int,
                  use_pallas: bool, T: int, B: int, Pg: int,
                  return_logits: bool = False, quant: str = "none",
-                 kv_scale: float = 1.0):
+                 kv_scale: float = 1.0, use_sampler: bool = True):
     """Build the jitted SPMD step. KV cache and feedback buffer are donated.
     The batch arrives as ONE packed i32 buffer (see pack_step_batch) — a
     single host→device transfer per step."""
@@ -461,7 +467,8 @@ def make_step_fn(mesh, cfg: LlamaModelConfig, *, page_size: int, q_bucket: int,
         return forward_shard(params, kv_cache, feedback, batch, cfg=cfg,
                              page_size=page_size, q_bucket=q_bucket,
                              use_pallas=use_pallas, kv_scale=kv_scale,
-                             return_logits=return_logits)
+                             return_logits=return_logits,
+                             use_sampler=use_sampler)
 
     sharded = jax.shard_map(
         step, mesh=mesh,

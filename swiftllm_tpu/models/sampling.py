@@ -56,7 +56,13 @@ def sample_tokens(
     greedy = exact_greedy(logits, v_local, tp_axis, tp_size)
 
     k_cand = min(MAX_CAND, v_local)
-    vals, idx = jax.lax.top_k(logits, k_cand)               # [B, k], local ids
+    # approx_max_k is the TPU-native top-k (PartialReduce custom call): it
+    # avoids the full-vocab sort lax.top_k lowers to. aggregate_to_topk
+    # exact-sorts the found candidates, so only recall of the deep tail is
+    # approximate — mass the sampler drops by design anyway.
+    vals, idx = jax.lax.approx_max_k(logits, k_cand,
+                                     recall_target=0.99,
+                                     aggregate_to_topk=True)  # [B, k], local ids
     gids = idx.astype(jnp.int32) + tp_rank * v_local
     if tp_size > 1:
         vals = jax.lax.all_gather(vals, tp_axis, axis=1, tiled=True)   # [B, tp*k]

@@ -395,6 +395,304 @@ def _decode_kernel(
                 wpend_ref[0] = 0
 
 
+def _decode_kernel_grouped(
+    layer_ref, q_lens_ref, seq_lens_ref, page_table_ref, kv_slots_ref, sel_ref,
+    q_ref,          # VMEM block [R*n_q, hd] (R rows' heads as sublanes)
+    kv_new_ref,     # VMEM block [br, R*W] — R rows' new K‖V concatenated on lanes
+    cache_in,       # [L, S, W] HBM (aliased with cache_out)
+    o_ref,          # VMEM block [R*n_q, hd]
+    cache_out,      # aliased HBM output
+    kv_buf, kv_sems, w_buf, w_rsems, w_wsems, ctr_ref, wpend_ref,
+    *, page_size, chunk_pages, sm_scale, n_q, n_kv, hd, n_rows, R, br,
+):
+    """R-row batched decode attention with the KV-cache update fused in.
+
+    The single-row kernel's cost is NOT bandwidth — it is the per-row serial
+    issue of small VPU/MXU ops (~96 µs/layer at B=64 on v5e, 8x the KV-stream
+    roofline). This variant processes R rows per grid step with ONE matmul:
+
+      q_blk [R*n_q, R*W] is double-block-diagonal — query row i (group-row r,
+      kv head h) occupies lanes r*W + h*hd (the K half of its row's lane
+      block); everything else is zero. Each row's KV chunk streams into its
+      own W-wide lane block of kv_buf [chunk, R*W]. Then
+          scores = q_blk @ kv_buf^T       (one [R*n_q, chunk] matmul)
+      computes every row's scores against ITS OWN keys (cross terms hit
+      zeros), and
+          pv = probs @ kv_buf             ([R*n_q, R*W])
+      yields each row's p@V in the V half of its own diagonal block. The
+      extra MXU work (contracting R*W instead of W) is free at these shapes;
+      the softmax bookkeeping batches R-fold.
+
+    DMA layout: per-row chunks land at lane offset r*W (W = 2*n_kv*hd is a
+    multiple of 128, so lane-sliced destinations are legal). The per-row
+    contiguous-page fast path, cross-GROUP prefetch chain, and deferred
+    read-modify-write page write-back all carry over from the single-row
+    kernel; write-back bookkeeping is per-row (wpend_ref is [R] flags).
+
+    kv_new arrives reshaped [n_rows//R, R*W] (row g = the R rows' fresh K‖V
+    side by side) and blocked ``br`` group-rows at a time so each grid step
+    reads an [br, R*W] value instead of the whole [n_rows, W] array.
+    """
+    g = pl.program_id(0)
+    layer = layer_ref[0]
+    chunk = chunk_pages * page_size
+    group = n_q // n_kv
+    W = 2 * n_kv * hd
+    KH = n_kv * hd
+    sizes = [z for z in _FAST_SIZES if z <= chunk_pages]
+    n_groups = n_rows // R
+
+    def start_row(b, r, c, slot):
+        """Start row b's chunk-c DMAs into lane block r of kv_buf[slot]."""
+        sel = sel_ref[b]
+        need = pl.cdiv(jnp.maximum(seq_lens_ref[b] - 1, 0), page_size)
+        for z in sizes:
+            @pl.when((c == 0) & (sel == z))
+            def _(z=z):
+                p0 = page_table_ref[b, 0]
+                pltpu.make_async_copy(
+                    cache_in.at[layer, pl.ds(p0 * page_size, z * page_size)],
+                    kv_buf.at[slot, pl.ds(0, z * page_size),
+                              pl.ds(r * W, W)],
+                    kv_sems.at[slot, r, 0],
+                ).start()
+        base = c * chunk_pages
+        for j in range(chunk_pages):
+            @pl.when((sel == 0) & (base + j < need))
+            def _(j=j):
+                page = page_table_ref[b, base + j]
+                pltpu.make_async_copy(
+                    cache_in.at[layer, pl.ds(page * page_size, page_size)],
+                    kv_buf.at[slot, pl.ds(j * page_size, page_size),
+                              pl.ds(r * W, W)],
+                    kv_sems.at[slot, r, j],
+                ).start()
+
+    def wait_row(b, r, c, slot):
+        sel = sel_ref[b]
+        need = pl.cdiv(jnp.maximum(seq_lens_ref[b] - 1, 0), page_size)
+        for z in sizes:
+            @pl.when((c == 0) & (sel == z))
+            def _(z=z):
+                pltpu.make_async_copy(
+                    cache_in.at[0, pl.ds(0, z * page_size)],   # shape-only
+                    kv_buf.at[slot, pl.ds(0, z * page_size), pl.ds(r * W, W)],
+                    kv_sems.at[slot, r, 0],
+                ).wait()
+        base = c * chunk_pages
+        for j in range(chunk_pages):
+            @pl.when((sel == 0) & (base + j < need))
+            def _(j=j):
+                pltpu.make_async_copy(
+                    cache_in.at[0, pl.ds(0, page_size)],       # shape-only
+                    kv_buf.at[slot, pl.ds(j * page_size, page_size),
+                              pl.ds(r * W, W)],
+                    kv_sems.at[slot, r, j],
+                ).wait()
+
+    def start_grp(gb, c, slot):
+        for r in range(R):
+            b = gb * R + r
+            @pl.when(q_lens_ref[b] > 0)
+            def _(b=b, r=r):
+                start_row(b, r, c, slot)
+
+    def wait_grp(gb, c, slot):
+        for r in range(R):
+            b = gb * R + r
+            @pl.when(q_lens_ref[b] > 0)
+            def _(b=b, r=r):
+                wait_row(b, r, c, slot)
+
+    @pl.when(g == 0)
+    def _():
+        ctr_ref[0] = 0
+        for r in range(R):
+            wpend_ref[r] = 0
+        # Zero-fill the KV buffers ONCE: never-DMA'd regions then hold zeros
+        # (first use) or a previous row's finite KV (later uses) — never NaN
+        # bit patterns that would poison the p@v matmul through 0*NaN. This
+        # replaces a per-chunk masking pass over the whole buffer.
+        kv_buf[0] = jnp.zeros_like(kv_buf[0])
+        kv_buf[1] = jnp.zeros_like(kv_buf[1])
+        for r in range(R):
+            w_buf[r] = jnp.zeros_like(w_buf[r])
+
+        @pl.when(q_lens_ref[0] > 0)     # a fully masked step starts nothing
+        def _():
+            start_grp(0, 0, 0)
+
+    # Valid rows form a contiguous prefix (builder contract), so group
+    # validity == its first row's validity.
+    @pl.when(q_lens_ref[g * R] > 0)
+    def _group():
+        base = ctr_ref[0]
+        valids = [q_lens_ref[g * R + r] > 0 for r in range(R)]
+        hists = [jnp.maximum(seq_lens_ref[g * R + r] - 1, 0) for r in range(R)]
+        nc = pl.cdiv(hists[0], chunk)
+        for r in range(1, R):
+            nc = jnp.maximum(nc, jnp.where(valids[r],
+                                           pl.cdiv(hists[r], chunk), 0))
+        g_next = jnp.minimum(g + 1, n_groups - 1)
+        next_valid = (g + 1 < n_groups) & (q_lens_ref[g_next * R] > 0)
+
+        # Previous group's write-back DMAs read w_buf; they must land before
+        # this group's page reads overwrite it.
+        for r in range(R):
+            @pl.when(wpend_ref[r] == 1)
+            def _(r=r):
+                pltpu.make_async_copy(
+                    w_buf.at[r], cache_out.at[layer, pl.ds(0, page_size)],
+                    w_wsems.at[r]).wait()     # shape-equivalent reconstruction
+                wpend_ref[r] = 0
+        # Start this group's RMW page reads early (overlap with attention).
+        for r in range(R):
+            @pl.when(valids[r])
+            def _(r=r):
+                w_page = kv_slots_ref[g * R + r] // page_size
+                pltpu.make_async_copy(
+                    cache_in.at[layer, pl.ds(w_page * page_size, page_size)],
+                    w_buf.at[r], w_rsems.at[r]).start()
+
+        # hist == 0 groups run zero chunk iterations; keep the prefetch chain
+        # alive here instead.
+        @pl.when((nc == 0) & next_valid)
+        def _():
+            start_grp(g_next, 0, base)
+
+        # --- build the double-block-diagonal q [R*n_q, R*W] ------------------
+        q = q_ref[...]                                     # [R*n_q, hd]
+        RN, RW = R * n_q, R * W
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (RN, RW), 0)
+        col_iota = jax.lax.broadcasted_iota(jnp.int32, (RN, RW), 1)
+        on_diag = (row_iota // n_q) == (col_iota // W)      # same group-row
+        h_match = ((row_iota % n_q) // group) == ((col_iota % W) // hd)
+        # (col_iota % W) // hd >= n_kv on V-half lanes never equals a kv head
+        # of a q row, so the V half stays zero.
+        q_blk = jnp.where(on_diag & h_match,
+                          jnp.concatenate([q] * (2 * R * n_kv), axis=1), 0)
+
+        # Per-row scalar vectors broadcast to compute shapes.
+        def per_row_rows(vals):
+            """[RN, 1] vector: sublane block r (of size n_q) = vals[r]."""
+            row_r = jax.lax.broadcasted_iota(jnp.int32, (RN, 1), 0) // n_q
+            out = jnp.zeros((RN, 1), jnp.int32)
+            for r in range(R):
+                out = jnp.where(row_r == r, vals[r], out)
+            return out
+
+        hist_rows = per_row_rows(hists)                     # [RN, 1]
+
+        m0 = jnp.full((RN, 1), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((RN, 1), jnp.float32)
+        a0 = jnp.zeros((RN, KH), jnp.float32)
+
+        def body(c, carry):
+            m, l, acc = carry
+            slot = jax.lax.rem(base + c, 2)
+
+            @pl.when(c + 1 < nc)
+            def _():
+                start_grp(g, c + 1, jax.lax.rem(base + c + 1, 2))
+
+            @pl.when((c + 1 >= nc) & next_valid)
+            def _():
+                start_grp(g_next, 0, jax.lax.rem(base + nc, 2))
+
+            wait_grp(g, c, slot)
+            # Regions never DMA'd hold zeros or a previous row's finite KV
+            # (buffers zero-filled at g == 0): the causal mask turns their
+            # probabilities into exact zeros, so no data masking is needed.
+            kv2 = kv_buf[slot]                              # [chunk, RW]
+
+            sc = jax.lax.dot_general(
+                q_blk, kv2.astype(q_blk.dtype), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * sm_scale  # [RN, chunk]
+            key_row = c * chunk + jax.lax.broadcasted_iota(
+                jnp.int32, (1, chunk), 1)
+            sc = jnp.where(key_row < hist_rows, sc, NEG_INF)
+
+            mi = jnp.maximum(m, jnp.max(sc, axis=-1, keepdims=True))
+            pr = jnp.exp(sc - mi)
+            scale = jnp.exp(m - mi)
+            li = l * scale + jnp.sum(pr, axis=-1, keepdims=True)
+            pv = jax.lax.dot_general(
+                pr.astype(q.dtype), kv2.astype(q.dtype),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # [RN, RW]
+            # Extract each row block's OWN V half.
+            row_r = jax.lax.broadcasted_iota(jnp.int32, (RN, KH), 0) // n_q
+            own_v = jnp.zeros((RN, KH), jnp.float32)
+            for r in range(R):
+                own_v = jnp.where(row_r == r,
+                                  pv[:, r * W + KH:(r + 1) * W], own_v)
+            return (mi, li, acc * scale + own_v)
+
+        m, l, acc = jax.lax.fori_loop(0, nc, body, (m0, l0, a0))
+
+        # --- fold in the new tokens (key position seq_len-1) from VMEM -------
+        # kv_new block row (g % br) is this group's R rows' K‖V side by side —
+        # exactly the [1, RW] lane layout q_blk expects.
+        blk_rows = kv_new_ref[...].astype(jnp.float32)       # [br, RW]
+        bi = jax.lax.broadcasted_iota(jnp.int32, (br, 1), 0)
+        knew_cat = jnp.sum(jnp.where(bi == g % br, blk_rows, 0),
+                           axis=0, keepdims=True)            # [1, RW]
+        s_new = jnp.sum(q_blk.astype(jnp.float32) * knew_cat,
+                        axis=-1, keepdims=True) * sm_scale   # [RN, 1]
+        mi = jnp.maximum(m, s_new)
+        scale = jnp.exp(m - mi)
+        p_new = jnp.exp(s_new - mi)
+        l = l * scale + p_new
+        row_r = jax.lax.broadcasted_iota(jnp.int32, (RN, KH), 0) // n_q
+        v_own = jnp.zeros((RN, KH), jnp.float32)
+        for r in range(R):
+            v_own = jnp.where(row_r == r,
+                              knew_cat[:, r * W + KH:(r + 1) * W], v_own)
+        acc = (acc * scale + p_new * v_own) / jnp.maximum(l, 1e-30)
+
+        # Extract each q row's own head block from [RN, KH].
+        out = jnp.zeros((RN, hd), jnp.float32)
+        h_of_row = (jax.lax.broadcasted_iota(jnp.int32, (RN, hd), 0)
+                    % n_q) // group
+        for h in range(n_kv):
+            out = jnp.where(h_of_row == h, acc[:, h * hd:(h + 1) * hd], out)
+        o_ref[...] = out.astype(o_ref.dtype)
+        ctr_ref[0] = jax.lax.rem(base + nc, 2)
+
+        # --- merge each row's new K/V into its page and write back -----------
+        for r in range(R):
+            b = g * R + r
+
+            @pl.when(valids[r] & (seq_lens_ref[b] > 0))
+            def _(r=r, b=b):
+                pltpu.make_async_copy(
+                    cache_in.at[layer, pl.ds(0, page_size)],   # shape-only
+                    w_buf.at[r], w_rsems.at[r]).wait()
+                w_off = kv_slots_ref[b] % page_size
+                w_page = kv_slots_ref[b] // page_size
+                kv_new_r = knew_cat[:, r * W:(r + 1) * W]      # [1, W] f32
+                sub_iota = jax.lax.broadcasted_iota(
+                    jnp.int32, (page_size, 1), 0)
+                w_buf[r] = jnp.where(sub_iota == w_off,
+                                     kv_new_r.astype(w_buf.dtype), w_buf[r])
+                pltpu.make_async_copy(
+                    w_buf.at[r],
+                    cache_out.at[layer, pl.ds(w_page * page_size, page_size)],
+                    w_wsems.at[r]).start()
+                wpend_ref[r] = 1
+
+        @pl.when(jnp.logical_not(next_valid))
+        def _():   # last valid group: all writes must land before kernel exit
+            for r in range(R):
+                @pl.when(wpend_ref[r] == 1)
+                def _(r=r):
+                    pltpu.make_async_copy(
+                        w_buf.at[r],
+                        cache_out.at[layer, pl.ds(0, page_size)],
+                        w_wsems.at[r]).wait()
+                    wpend_ref[r] = 0
+
+
 def _tiles_kernel(
     layer_ref, q_starts_ref, q_lens_ref, seq_lens_ref, page_table_ref,
     q_hbm,          # [T, n_q*hd]
@@ -452,6 +750,9 @@ def _chunk_geometry(Pg, page_size, n_kv, hd, itemsize, max_chunk_pages):
     buf_budget = 512 * 1024
     max_chunk_tokens = max(page_size, buf_budget // (2 * n_kv * hd * itemsize))
     chunk_pages = max(1, min(Pg, next_power_of_2(max_chunk_tokens // page_size + 1) // 2))
+    # v5e has 512 DMA-semaphore slots ("sflag" space); the double-buffered
+    # per-page semaphore array (2 x chunk_pages) must fit with headroom.
+    chunk_pages = min(chunk_pages, 128)
     if max_chunk_pages is not None:
         chunk_pages = min(chunk_pages, max_chunk_pages)
     return chunk_pages, cdiv(Pg, chunk_pages)
@@ -523,16 +824,80 @@ def ragged_paged_attention(q, cache3, layer, batch, *, n_kv: int,
                         & (pow2 > 0) & (pow2 <= chunk_pages),
                         pow2, 0).astype(jnp.int32)
         R = 4 if B % 4 == 0 else 1      # rows per grid step
+        W = 2 * n_kv * hd
+        if R > 1:
+            # Grouped kernel: bigger per-slot KV buffers (R lane blocks wide);
+            # re-derive the chunk geometry under a 4 MiB/slot budget.
+            buf_budget = 4 * 1024 * 1024
+            tokens = max(page_size, buf_budget // (R * W * itemsize))
+            chunk_pages = max(1, min(Pg, next_power_of_2(
+                tokens // page_size + 1) // 2))
+            # 512 sflag slots total: kv_sems is 2*R*chunk_pages (+2R for the
+            # write-back pairs) — cap so the worst case stays well under.
+            chunk_pages = min(chunk_pages, 32)
+            if max_chunk_pages is not None:
+                chunk_pages = min(chunk_pages, max_chunk_pages)
+            max_chunks = cdiv(Pg, chunk_pages)
+            pad_pages = chunk_pages * max_chunks - Pg
+            pt_g = (jnp.pad(batch.page_table, ((0, 0), (0, pad_pages)))
+                    if pad_pages else batch.page_table)
+            sel = jnp.where(sel <= chunk_pages, sel, 0)
+            GB = B // R
+            br = 8 if GB % 8 == 0 else GB
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=6,
+                grid=(GB,),
+                in_specs=[
+                    pl.BlockSpec((R * n_q, hd), lambda g, *refs: (g, 0)),  # q
+                    pl.BlockSpec((br, R * W), lambda g, *refs: (g // br, 0)),
+                    pl.BlockSpec(memory_space=pltpu.HBM),  # cache (aliased)
+                ],
+                out_specs=[
+                    pl.BlockSpec((R * n_q, hd), lambda g, *refs: (g, 0)),  # o
+                    pl.BlockSpec(memory_space=pltpu.HBM),  # cache out (alias)
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((2, chunk_pages * page_size, R * W),
+                               cache3.dtype),
+                    pltpu.SemaphoreType.DMA((2, R, chunk_pages)),
+                    pltpu.VMEM((R, page_size, W), cache3.dtype),   # w_buf
+                    pltpu.SemaphoreType.DMA((R,)),     # page reads
+                    pltpu.SemaphoreType.DMA((R,)),     # page writes (deferred)
+                    pltpu.SMEM((1,), jnp.int32),       # chunk-slot parity
+                    pltpu.SMEM((R,), jnp.int32),       # write pending flags
+                ],
+            )
+            kernel = functools.partial(
+                _decode_kernel_grouped, page_size=page_size,
+                chunk_pages=chunk_pages, sm_scale=sm_scale, n_q=n_q,
+                n_kv=n_kv, hd=hd, n_rows=B, R=R, br=br)
+            out, cache3 = pl.pallas_call(
+                kernel, grid_spec=grid_spec,
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024),
+                out_shape=[jax.ShapeDtypeStruct((B * n_q, hd), q.dtype),
+                           jax.ShapeDtypeStruct(cache3.shape, cache3.dtype)],
+                # flat operands: 6 scalar-prefetch, q=6, kv_new=7, cache=8.
+                input_output_aliases={8: 1},
+                interpret=interpret,
+            )(layer_arr, batch.q_lens, batch.seq_lens, pt_g, kv_slots_l, sel,
+              q[:B].reshape(B * n_q, hd),
+              kv_new[:B].reshape(GB, R * W),
+              cache3)
+            out = out.reshape(B, n_q * hd)
+            if T > B:
+                out = jnp.pad(out, ((0, T - B), (0, 0)))
+            return out.reshape(T, n_q, hd), cache3
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=6,
-            grid=(B // R,),
+            grid=(B,),
             in_specs=[
-                pl.BlockSpec((R * n_q, hd), lambda g, *refs: (g, 0)),      # q
+                pl.BlockSpec((n_q, hd), lambda g, *refs: (g, 0)),          # q
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # kv_new (whole array)
                 pl.BlockSpec(memory_space=pltpu.HBM),   # cache (aliased)
             ],
             out_specs=[
-                pl.BlockSpec((R * n_q, hd), lambda g, *refs: (g, 0)),       # o
+                pl.BlockSpec((n_q, hd), lambda g, *refs: (g, 0)),           # o
                 pl.BlockSpec(memory_space=pltpu.HBM),   # cache out (alias)
             ],
             scratch_shapes=[
@@ -549,7 +914,7 @@ def ragged_paged_attention(q, cache3, layer, batch, *, n_kv: int,
         kernel = functools.partial(
             _decode_kernel, page_size=page_size, chunk_pages=chunk_pages,
             sm_scale=sm_scale, n_q=n_q, n_kv=n_kv, hd=hd, n_rows=B,
-            rows_per_step=R)
+            rows_per_step=1)
         out, cache3 = pl.pallas_call(
             kernel, grid_spec=grid_spec,
             compiler_params=pltpu.CompilerParams(

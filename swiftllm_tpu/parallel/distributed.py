@@ -69,7 +69,7 @@ OP_STEP = 0          # one serving step (header carries the bucket key)
 OP_STEP_LOGITS = 1   # a step with return_logits=True (debug/eval path)
 OP_STOP = 2          # shut the followers down
 
-_HEADER_LEN = 5      # [op, tokens, rows, pages, q_len]
+_HEADER_LEN = 6      # [op, tokens, rows, pages, q_len, sampling]
 
 
 def exchange_op(op: int = OP_STEP, bucket_key=None,

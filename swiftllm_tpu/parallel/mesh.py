@@ -41,16 +41,18 @@ PARAM_SPECS = {
     "lm_head": P(AXIS_TP, None),          # [V, D] vocab-sharded
     "final_norm": P(),                    # [D]
     "inv_freq": P(),                      # [head_dim//2]
+    # GEMM weights are stored [L, out, in] (torch-native; contraction on
+    # lanes — see worker/weights.py gemm()).
     "layers": {
         "attn_norm": P(),                 # [L, D]
-        "wq": P(None, None, AXIS_TP),     # [L, D, n_q*hd]    out-sharded (column)
-        "wk": P(None, None, AXIS_TP),     # [L, D, n_kv*hd]
-        "wv": P(None, None, AXIS_TP),
-        "wo": P(None, AXIS_TP, None),     # [L, n_q*hd, D]    in-sharded (row)
+        "wq": P(None, AXIS_TP, None),     # [L, n_q*hd, D]    out-sharded (column)
+        "wk": P(None, AXIS_TP, None),     # [L, n_kv*hd, D]
+        "wv": P(None, AXIS_TP, None),
+        "wo": P(None, None, AXIS_TP),     # [L, D, n_q*hd]    in-sharded (row)
         "ffn_norm": P(),
-        "w_gate": P(None, None, AXIS_TP), # [L, D, F]
-        "w_up": P(None, None, AXIS_TP),
-        "w_down": P(None, AXIS_TP, None), # [L, F, D]
+        "w_gate": P(None, AXIS_TP, None), # [L, F, D]
+        "w_up": P(None, AXIS_TP, None),
+        "w_down": P(None, None, AXIS_TP), # [L, D, F]
     },
 }
 
@@ -70,9 +72,9 @@ GEMM_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
 def param_specs(quant: str = "none", quantized_lm_head: bool = False) -> dict:
     """PARAM_SPECS adjusted for the weight-quantization storage format.
 
-    quantized_lm_head: the untied lm_head is stored quantized in [D, V] GEMM
-    layout (vocab stays the tp-sharded axis); tied-embedding models keep the
-    plain [V, D] embedding for both roles."""
+    quantized_lm_head: the untied lm_head is stored quantized in its [V, D]
+    ([out, in]) layout (vocab stays the tp-sharded axis); tied-embedding
+    models keep the plain [V, D] embedding for both roles."""
     if quant == "none":
         return PARAM_SPECS
     from swiftllm_tpu.worker.quant import spec_for_quantized
@@ -82,7 +84,7 @@ def param_specs(quant: str = "none", quantized_lm_head: bool = False) -> dict:
         for k, v in PARAM_SPECS["layers"].items()}
     if quantized_lm_head:
         q_key = "q" if quant == "int8" else "q4"
-        specs["lm_head"] = {q_key: P(None, AXIS_TP), "s": P(AXIS_TP)}
+        specs["lm_head"] = {q_key: P(AXIS_TP, None), "s": P(AXIS_TP)}
     return specs
 
 # Batch descriptor: token-axis and seq-row-axis arrays shard over dp.

@@ -26,11 +26,15 @@ from swiftllm_tpu.worker.block_manager import BlockManager
 
 @dataclasses.dataclass(frozen=True)
 class BucketKey:
-    """Static shape signature of one compiled step program."""
+    """Static signature of one compiled step program (shapes + variant)."""
     tokens: int      # T_local (per dp shard)
     rows: int        # B_local
     pages: int       # P (pages-per-seq axis)
     q_len: int       # Q (max new tokens per row)
+    sampling: int = 0  # 1 → temperature/top-k/top-p sampler compiled in;
+                       # 0 → greedy-only head (an all-greedy batch pays no
+                       # sampling cost: the full sampler is ~1.2 ms/step at
+                       # 32k vocab, the greedy head ~0.1 ms — measured v5e)
 
 
 def _pick_bucket(buckets: tuple[int, ...], needed: int, hard: bool = False) -> int:
@@ -75,6 +79,8 @@ def select_buckets(groups: list[list[ScheduledSeq]], cfg: EngineConfig) -> Bucke
         rows=rows_bucket,
         pages=_pick_bucket(cfg.page_buckets, max_pages, hard=True),
         q_len=q_len,
+        sampling=int(any(s.request.temperature > 0
+                         for g in groups for s in g)),
     )
 
 

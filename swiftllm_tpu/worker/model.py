@@ -184,7 +184,8 @@ class LlamaModel:
                 q_bucket=key.q_len, use_pallas=self.engine_config.use_pallas,
                 T=key.tokens, B=key.rows, Pg=key.pages,
                 return_logits=return_logits, quant=self.engine_config.quant,
-                kv_scale=self.engine_config.kv_scale)
+                kv_scale=self.engine_config.kv_scale,
+                use_sampler=bool(key.sampling))
         return self._step_fns[k]
 
     def _lower(self, key: BucketKey, num_blocks: int):

@@ -38,14 +38,22 @@ def _torch_to_numpy(t) -> np.ndarray:
 def _dummy_getter(model_config: LlamaModelConfig, dtype) -> Callable[[str, tuple], np.ndarray]:
     """uniform(-1e-3, 1e-3) random weights, no checkpoint needed
     (reference weight.py:215-218). Generated in f32 via rng.random — f64
-    uniform() doubles memory traffic and is ~3x slower at 8B scale."""
+    uniform() doubles memory traffic and is ~3x slower at 8B scale — and
+    CACHED BY SHAPE: every layer gets the same random matrix, cutting 8B-scale
+    dummy generation ~30x. Values stay random and deterministic (identical
+    across processes — multi-host dummy runs rely on that); only cross-layer
+    variety is sacrificed, which profiling/benching doesn't need."""
     rng = np.random.default_rng(0)
+    cache: dict[tuple, np.ndarray] = {}
 
     def get(name: str, shape: tuple) -> np.ndarray:
-        w = rng.random(size=shape, dtype=np.float32)
-        w -= 0.5
-        w *= 2e-3
-        return w.astype(dtype, copy=False)
+        key = tuple(shape)
+        if key not in cache:
+            w = rng.random(size=shape, dtype=np.float32)
+            w -= 0.5
+            w *= 2e-3
+            cache[key] = w.astype(dtype, copy=False)
+        return cache[key]
     return get
 
 
@@ -137,8 +145,13 @@ def load_params(engine_config: EngineConfig, model_config: LlamaModelConfig,
                         mc.vocab_size, mc.num_layers)
 
     def gemm(name, shape_torch):
-        """Fetch a torch [out, in] projection, return [in, out]."""
-        return np.ascontiguousarray(get(name, shape_torch).astype(np_dtype).T)
+        """Fetch a torch [out, in] projection, kept in that layout.
+
+        [out, in] puts the contraction axis on lanes — the layout XLA's TPU
+        matmul emitter wants for the weight operand. Storing [in, out]
+        instead costs a per-layer [8 MB] layout-change copy of every scanned
+        weight slice (measured: ~22 µs/layer on v5e, ~0.5 ms/step at 1B)."""
+        return get(name, shape_torch).astype(np_dtype)
 
     layer_names = {
         "attn_norm": ("model.layers.{i}.input_layernorm.weight", (D,), False),
@@ -173,9 +186,9 @@ def load_params(engine_config: EngineConfig, model_config: LlamaModelConfig,
     if nkv_eff != nkv:
         rep = nkv_eff // nkv
         for key in ("wk", "wv"):
-            w = layers[key].reshape(L, D, nkv, hd)
+            w = layers[key].reshape(L, nkv, hd, D)
             layers[key] = np.ascontiguousarray(
-                np.repeat(w, rep, axis=2).reshape(L, D, nkv_eff * hd))
+                np.repeat(w, rep, axis=1).reshape(L, nkv_eff * hd, D))
 
     # Weight-only quantization at load time (none | int8 | int4), applied
     # layer-by-layer: a whole-stack f32 working copy of an 8B projection is
@@ -184,8 +197,13 @@ def load_params(engine_config: EngineConfig, model_config: LlamaModelConfig,
         from swiftllm_tpu.worker.quant import quantize_weight
         for key in GEMM_KEYS:
             w = layers[key]
-            qd = [quantize_weight(w[i], quant) for i in range(L)]
-            layers[key] = {k: np.stack([d[k] for d in qd]) for k in qd[0]}
+            if engine_config.use_dummy:
+                # All layers share one dummy matrix: quantize it once.
+                qd0 = quantize_weight(w[0], quant)
+                layers[key] = {k: np.stack([qd0[k]] * L) for k in qd0}
+            else:
+                qd = [quantize_weight(w[i], quant) for i in range(L)]
+                layers[key] = {k: np.stack([d[k] for d in qd]) for k in qd[0]}
 
     def pad_vocab(w: np.ndarray) -> np.ndarray:
         """Pad the vocab axis to a multiple of tp; the sampler masks the padding."""
@@ -202,11 +220,11 @@ def load_params(engine_config: EngineConfig, model_config: LlamaModelConfig,
     else:
         lm_head = pad_vocab(get("lm_head.weight", (V, D)).astype(np_dtype))
         if quant != "none":
-            # Quantize the lm_head too (per-vocab-column scales) — at
-            # 128k-vocab models it is ~1 GB of per-step decode traffic. Stored
-            # in [D, V] GEMM layout so the sampling head uses quant.proj.
+            # Quantize the lm_head too (per-vocab-row scales) — at 128k-vocab
+            # models it is ~1 GB of per-step decode traffic. [V, D] is already
+            # the [out, in] GEMM layout the sampling head's quant.proj uses.
             from swiftllm_tpu.worker.quant import quantize_weight
-            lm_head = quantize_weight(np.ascontiguousarray(lm_head.T), quant)
+            lm_head = quantize_weight(lm_head, quant)
 
     host_params = {
         "embed": embed,

@@ -15,32 +15,32 @@ from swiftllm_tpu.worker.quant import (_unpack_int4, proj, quantize_int4,
 
 def test_int8_roundtrip():
     rng = np.random.default_rng(0)
-    w = rng.normal(size=(3, 32, 16)).astype(np.float32)
+    w = rng.normal(size=(3, 32, 16)).astype(np.float32)   # [.., out, in]
     qd = quantize_int8(w)
-    deq = qd["q"].astype(np.float32) * qd["s"][:, None, :]
+    deq = qd["q"].astype(np.float32) * qd["s"][..., None]
     err = np.abs(deq - w)
-    assert np.all(err <= qd["s"][:, None, :] * 0.5 + 1e-6)
+    assert np.all(err <= qd["s"][..., None] * 0.5 + 1e-6)
 
 
 def test_int4_pack_unpack():
     rng = np.random.default_rng(1)
-    w = rng.normal(size=(4, 16, 8)).astype(np.float32)
+    w = rng.normal(size=(4, 16, 8)).astype(np.float32)   # [.., out, in]
     qd = quantize_int4(w)
     unpacked = np.asarray(_unpack_int4(jnp.asarray(qd["q4"])))
     # rebuild the expected int4 values directly
     s = qd["s"]
-    expect = np.clip(np.rint(w / s[:, None, :]), -7, 7).astype(np.int8)
+    expect = np.clip(np.rint(w / s[..., None]), -7, 7).astype(np.int8)
     np.testing.assert_array_equal(unpacked, expect)
 
 
 def test_proj_matches_dequantized_matmul():
     rng = np.random.default_rng(2)
-    w = rng.normal(size=(64, 32)).astype(np.float32)
+    w = rng.normal(size=(32, 64)).astype(np.float32)   # [out, in]
     x = rng.normal(size=(5, 64)).astype(np.float32)
     qd = quantize_int8(w)
-    deq = qd["q"].astype(np.float32) * qd["s"][None, :]
+    deq = qd["q"].astype(np.float32) * qd["s"][:, None]
     got = np.asarray(proj(jnp.asarray(x), {k: jnp.asarray(v) for k, v in qd.items()}))
-    np.testing.assert_allclose(got, x @ deq, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(got, x @ deq.T, rtol=1e-5, atol=1e-5)
 
 
 def _forward_logits(quant: str):
