@@ -112,7 +112,6 @@ def main():
     p.add_argument("--mode", default="decode", choices=("decode", "prefill"))
     p.add_argument("--quant", default="none", choices=("none", "int8", "int4"))
     p.add_argument("--kv-quant", default="none", choices=("none", "fp8"))
-    p.add_argument("--kv-scale", type=float, default=1.0)
     p.add_argument("--use-pallas", default=None, type=lambda s: s.lower() in ("1", "true"))
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--selftest", action="store_true")
@@ -148,7 +147,7 @@ def main():
     pages_per_seq = next_power_of_2(cdiv(total_len, args.block_size))
     ec = EngineConfig(
         model_path="", use_dummy=True, dtype=args.dtype, block_size=args.block_size,
-        quant=args.quant, kv_quant=args.kv_quant, kv_scale=args.kv_scale,
+        quant=args.quant, kv_quant=args.kv_quant,
         num_hbm_blocks=args.batch * pages_per_seq,
         num_cpu_blocks=0,
         max_blocks_per_seq=pages_per_seq,

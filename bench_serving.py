@@ -3,9 +3,16 @@
 Methodology follows the reference's online experiments (README.md:105-109):
 requests with ShareGPT-like length distributions arrive as a Poisson process
 at a given rate; we report TTFT (time to first token) and TPOT (per output
-token) percentiles plus sustained throughput. Prints ONE JSON line.
+token) percentiles plus sustained throughput. Prints ONE JSON line per rate.
+
+``vs_baseline`` compares our TPOT p50 against the reference's published
+per-output-token latency curve on an A100 80G (BASELINE.md: ~15 ms at
+1 req/s rising to ~105 ms at 7.2 req/s, read off its chart) at the same
+request rate: values > 1 mean lower latency than the reference system on its
+own GPU. Different hardware — a context number, not a controlled comparison.
 
 Run on the chip:   python bench_serving.py --model 1b --rate 4 --num-requests 64
+Rate sweep (knee): python bench_serving.py --model 1b --sweep 1,2,4,6 --num-requests 48
 Hermetic (CPU):    python bench_serving.py --cpu --model tiny --rate 8 --num-requests 16
 """
 
@@ -17,6 +24,13 @@ import time
 import numpy as np
 
 from swiftllm_tpu.config import EngineConfig, LlamaModelConfig
+
+
+def reference_tpot_ms(rate: float) -> float:
+    """Reference per-output-token latency at `rate` req/s (A100 80G, chart at
+    docs/assets/online-llama-3-7b-a100.png; BASELINE.md row 6): ~15 ms at
+    1 req/s to ~105 ms at 7.2 req/s, interpolated linearly."""
+    return max(15.0, 15.0 + (105.0 - 15.0) * (rate - 1.0) / (7.2 - 1.0))
 
 MODEL_DIMS = {
     # name: (layers, hidden, n_q, n_kv, head_dim, ffn, vocab)
@@ -72,8 +86,6 @@ async def main_async(args):
                                         args.num_requests), 8, 2048).astype(int)
     output_lens = np.clip(rng.lognormal(np.log(args.mean_output), 0.6,
                                         args.num_requests), 4, 1024).astype(int)
-    inter = rng.exponential(1.0 / args.rate, args.num_requests)
-    arrivals = np.cumsum(inter)
 
     def make_raws():
         return [RawRequest("", int(output_lens[i]),
@@ -89,43 +101,54 @@ async def main_async(args):
         await asyncio.gather(*[
             run_client(engine, r, 0.0, t0, warm) for r in make_raws()[:8]])
 
-    results: list[dict] = []
-    t0 = time.perf_counter()
-    raws = make_raws()
-    await asyncio.gather(*[
-        run_client(engine, raws[i], float(arrivals[i]), t0, results)
-        for i in range(args.num_requests)])
-    wall = max(r["finish"] for r in results) - t0
+    rates = ([float(r) for r in args.sweep.split(",")] if args.sweep
+             else [args.rate])
+    for rate in rates:
+        inter = rng.exponential(1.0 / rate, args.num_requests)
+        arrivals = np.cumsum(inter)
+        results: list[dict] = []
+        t0 = time.perf_counter()
+        raws = make_raws()
+        await asyncio.gather(*[
+            run_client(engine, raws[i], float(arrivals[i]), t0, results)
+            for i in range(args.num_requests)])
+        wall = max(r["finish"] for r in results) - t0
+
+        ttfts = sorted(r["ttft"] for r in results)
+        tpots = sorted(r["tpot"] for r in results if r["n_tokens"] > 1)
+        total_tokens = sum(r["n_tokens"] for r in results)
+
+        def pct(xs, p):
+            return (float(xs[min(int(len(xs) * p / 100), len(xs) - 1)])
+                    if xs else 0.0)
+
+        tpot_p50_ms = pct(tpots, 50) * 1e3
+        print(json.dumps({
+            "metric": f"online_{args.model}_rate{rate:g}",
+            "value": round(total_tokens / wall, 2),
+            "unit": "tokens/s",
+            "vs_baseline": (round(reference_tpot_ms(rate) / tpot_p50_ms, 3)
+                            if tpot_p50_ms else 0.0),
+            "detail": {
+                "num_requests": len(results),
+                "ttft_p50_ms": round(pct(ttfts, 50) * 1e3, 1),
+                "ttft_p90_ms": round(pct(ttfts, 90) * 1e3, 1),
+                "tpot_p50_ms": round(tpot_p50_ms, 1),
+                "tpot_p90_ms": round(pct(tpots, 90) * 1e3, 1),
+                "ref_tpot_p50_ms": round(reference_tpot_ms(rate), 1),
+                "preemptions": engine.stats.num_preemptions,
+                "steps": engine.stats.num_steps,
+            },
+        }), flush=True)
     loops.cancel()
-
-    ttfts = sorted(r["ttft"] for r in results)
-    tpots = sorted(r["tpot"] for r in results if r["n_tokens"] > 1)
-    total_tokens = sum(r["n_tokens"] for r in results)
-
-    def pct(xs, p):
-        return float(xs[min(int(len(xs) * p / 100), len(xs) - 1)]) if xs else 0.0
-
-    print(json.dumps({
-        "metric": f"online_{args.model}_rate{args.rate}",
-        "value": round(total_tokens / wall, 2),
-        "unit": "tokens/s",
-        "vs_baseline": 0.0,
-        "detail": {
-            "num_requests": len(results),
-            "ttft_p50_ms": round(pct(ttfts, 50) * 1e3, 1),
-            "ttft_p90_ms": round(pct(ttfts, 90) * 1e3, 1),
-            "tpot_p50_ms": round(pct(tpots, 50) * 1e3, 1),
-            "tpot_p90_ms": round(pct(tpots, 90) * 1e3, 1),
-            "preemptions": engine.stats.num_preemptions,
-            "steps": engine.stats.num_steps,
-        },
-    }))
 
 
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="1b", choices=sorted(MODEL_DIMS))
     p.add_argument("--rate", type=float, default=4.0, help="requests/s (Poisson)")
+    p.add_argument("--sweep", type=str, default="",
+                   help="comma-separated rates; one JSON line each (knee sweep)")
     p.add_argument("--num-requests", type=int, default=64)
     p.add_argument("--mean-prompt", type=float, default=160)
     p.add_argument("--mean-output", type=float, default=100)

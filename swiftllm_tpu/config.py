@@ -29,13 +29,11 @@ class EngineConfig:
     use_dummy: bool = False            # random weights, no checkpoint (reference engine_config.py:36-40)
     dtype: str = "bfloat16"            # activations+weights compute dtype
     quant: str = "none"                # weight quantization: none | int8 | int4
-    kv_quant: str = "none"             # KV-cache quantization: none | fp8
-    kv_scale: float = 1.0              # stored-KV scale for fp8 (values are
-                                       # multiplied by this before the fp8 cast;
-                                       # reads fold 1/kv_scale into the softmax
-                                       # scale and output normalization, so it
-                                       # costs nothing). Tune so |k|,|v|*scale
-                                       # lands in e4m3's sweet spot (~0.1-100).
+    kv_quant: str = "none"             # KV-cache quantization: none | fp8.
+                                       # fp8 stores per-token power-of-2 K/V
+                                       # scales in a trailing lane tile of the
+                                       # cache (models/llama.py fp8_scales) —
+                                       # no tuning knob needed.
 
     # --- paged KV cache ---
     block_size: int = 16               # tokens per KV page (reference default 16)

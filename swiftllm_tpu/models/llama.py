@@ -175,6 +175,26 @@ def apply_rope(x: jax.Array, positions: jax.Array, inv_freq: jax.Array) -> jax.A
     return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
 
 
+FP8_SCALE_LANES = 128   # one lane tile appended to the per-shard cache lanes
+                        # when kv_quant == "fp8": lane 0 = K scale, lane 1 = V
+                        # scale (per token; remaining lanes zero). One tile is
+                        # the minimum DMA-able lane width, and riding the KV
+                        # lanes means scales move in the SAME page DMAs — no
+                        # extra copies, no extra scalar-core work.
+
+
+def fp8_scales(x_max: jax.Array) -> jax.Array:
+    """Per-token power-of-2 scale s with |x|*s ≲ 224 (e4m3 max is 448).
+
+    Power-of-2 scales are EXACTLY representable in fp8, so storing them in
+    the cache's scale lanes loses nothing; quantization granularity vs an
+    optimal scale is ≤ 2x, which e4m3's mantissa dominates anyway. Replaces
+    round 1's single global kv_scale knob (an accuracy hazard on real
+    checkpoints with K/V outliers — VERDICT r1)."""
+    e = jnp.floor(jnp.log2(224.0 / jnp.maximum(x_max, 1e-20)))
+    return jnp.exp2(jnp.clip(e, -6.0, 8.0))
+
+
 def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
     """HF LlamaRMSNorm: fp32 variance, cast back BEFORE the weight multiply."""
     x32 = x.astype(jnp.float32)
@@ -250,29 +270,22 @@ def _ragged_paged_attention_jnp(
 # ---------------------------------------------------------------------------------
 
 def _attention_and_store(q, kv_new, cache3, layer, batch, *, n_kv,
-                         page_size, sm_scale, use_pallas, q_bucket,
-                         kv_scale=1.0):
-    """Store this layer's fresh K‖V (kv_new [T, n_kv*2*hd], per-head
-    interleaved, ALREADY multiplied by kv_scale and cast to the cache dtype)
-    into the 3-D cache [L, S, n_kv*2*hd] and run attention. Returns
-    (attn [T, n_q, hd], cache3).
-
-    kv_scale (fp8 KV): stored values are scale*true. Correcting costs nothing:
-    scores use sm_scale/kv_scale (exact through softmax since it is a
-    pre-softmax linear factor), and the output — linear in V — is divided by
-    kv_scale once at the end.
+                         page_size, sm_scale, use_pallas, q_bucket):
+    """Store this layer's fresh K‖V (kv_new [T, W], W = per-shard cache lane
+    width, already cast to the cache dtype — including the per-token fp8
+    scale lanes when kv_quant is on) into the 3-D cache [L, S, W] and run
+    attention. Returns (attn [T, n_q, hd], cache3).
 
     Decode buckets on the Pallas path fuse the store INTO the kernel (cache
     aliased in/out) — an XLA scatter adjacent to a custom call forces
     whole-cache copies every layer. Other paths scatter first, then attend."""
     T, n_q, hd = q.shape
-    sm_eff = sm_scale / kv_scale
     if use_pallas:
         from swiftllm_tpu.ops.paged_attention import ragged_paged_attention
         if q_bucket == 1:
             attn, cache3 = ragged_paged_attention(
                 q, cache3, layer, batch, n_kv=n_kv,
-                page_size=page_size, sm_scale=sm_eff, q_bucket=q_bucket,
+                page_size=page_size, sm_scale=sm_scale, q_bucket=q_bucket,
                 kv_new=kv_new)
         else:
             # True-SARATHI mixed step: scatter the PREFILL tokens' KV
@@ -287,22 +300,30 @@ def _attention_and_store(q, kv_new, cache3, layer, batch, *, n_kv,
             pre_batch = dataclasses.replace(batch, q_lens=q_lens_pre)
             dec_out, cache3 = ragged_paged_attention(
                 q, cache3, layer, dec_batch, n_kv=n_kv, page_size=page_size,
-                sm_scale=sm_eff, q_bucket=1, kv_new=kv_new)
+                sm_scale=sm_scale, q_bucket=1, kv_new=kv_new)
             pre_out = ragged_paged_attention(
                 q, cache3, layer, pre_batch, n_kv=n_kv, page_size=page_size,
-                sm_scale=sm_eff, q_bucket=q_bucket)
+                sm_scale=sm_scale, q_bucket=q_bucket)
             n_dec = jnp.sum(batch.decode_row.astype(jnp.int32))
             tok_iota = jnp.arange(T, dtype=jnp.int32)[:, None, None]
             attn = jnp.where(tok_iota < n_dec, dec_out, pre_out)
     else:
         cache3 = cache3.at[layer, batch.kv_slots].set(kv_new)
         s_local = cache3.shape[1]
-        cache_l = cache3[layer].reshape(s_local, 2, n_kv, hd)
+        KH = n_kv * hd
+        cl = cache3[layer]
+        if cl.shape[1] > 2 * KH:    # fp8 scale lanes: un-scale to a plain view
+            clf = cl.astype(jnp.float32)
+            ks = jnp.maximum(clf[:, 2 * KH:2 * KH + 1], 1e-20)
+            vs = jnp.maximum(clf[:, 2 * KH + 1:2 * KH + 2], 1e-20)
+            cache_l = jnp.stack([clf[:, :KH] / ks, clf[:, KH:2 * KH] / vs],
+                                axis=1).reshape(s_local, 2, n_kv, hd)
+        else:
+            cache_l = cl.reshape(s_local, 2, n_kv, hd)
         attn = _ragged_paged_attention_jnp(q, cache_l, batch,
                                            page_size=page_size,
-                                           sm_scale=sm_eff, q_bucket=q_bucket)
-    if kv_scale != 1.0:
-        attn = attn / jnp.asarray(kv_scale, attn.dtype)   # undo V scaling
+                                           sm_scale=sm_scale,
+                                           q_bucket=q_bucket)
     return attn, cache3
 
 
@@ -316,9 +337,9 @@ def forward_shard(
     page_size: int,
     q_bucket: int,
     use_pallas: bool,
-    kv_scale: float = 1.0,
     return_logits: bool = False,
     use_sampler: bool = True,
+    fp8_scaled: bool = False,
 ):
     """Per-shard SPMD body. Runs inside shard_map; collectives over "tp".
 
@@ -351,12 +372,12 @@ def forward_shard(
                   embed[jnp.clip(local_ids, 0, v_local - 1)], 0)
     x = psum_tp(x)                               # [T, D]
 
-    # --- layer scan over the 3-D cache [L, S, n_kv*2*hd] ------------------------
+    # --- layer scan over the 3-D cache [L, S, W] --------------------------------
     # The cache is STORED in this shape and carried through the scan with no
     # reshape at either boundary: a boundary reshape breaks XLA's carry
     # aliasing and costs two full-cache copies per step (measured on v5e).
+    # W = 2*n_kv*hd, plus one trailing scale-lane tile under fp8 KV quant.
     L = kv_cache.shape[0]
-    n_kv_cache = kv_cache.shape[2] // (2 * hd)
     cache2 = kv_cache
 
     def layer_step(carry, scanned):
@@ -372,18 +393,30 @@ def forward_shard(
         q = apply_rope(q, batch.positions, inv_freq)
         k = apply_rope(k, batch.positions, inv_freq)
 
-        # Per-shard lane halves [K_all ‖ V_all] (each shard writes only its
-        # own lane slice, so the layout is shard-local); scaled and cast to
-        # the cache dtype here (fp8 when kv_quant is on).
-        kv_new = jnp.concatenate(
-            [k.reshape(T, n_kv_l * hd), v.reshape(T, n_kv_l * hd)], axis=1)
-        if kv_scale != 1.0:
-            kv_new = kv_new * jnp.asarray(kv_scale, kv_new.dtype)
+        # Per-shard lane layout [K_all ‖ V_all (‖ scales)] (each shard writes
+        # only its own lane slice, so the layout is shard-local), cast to the
+        # cache dtype here (fp8 when kv_quant is on, with per-token power-of-2
+        # scales in the trailing lane tile).
+        kf = k.reshape(T, n_kv_l * hd)
+        vf = v.reshape(T, n_kv_l * hd)
+        if fp8_scaled:
+            ks = fp8_scales(jnp.max(jnp.abs(kf.astype(jnp.float32)),
+                                    axis=1, keepdims=True))         # [T, 1]
+            vs = fp8_scales(jnp.max(jnp.abs(vf.astype(jnp.float32)),
+                                    axis=1, keepdims=True))
+            lane = jnp.arange(FP8_SCALE_LANES, dtype=jnp.int32)[None, :]
+            scale_lanes = jnp.where(lane == 0, ks,
+                                    jnp.where(lane == 1, vs, 0.0))  # [T, 128]
+            kv_new = jnp.concatenate(
+                [kf.astype(jnp.float32) * ks, vf.astype(jnp.float32) * vs,
+                 scale_lanes], axis=1)
+        else:
+            kv_new = jnp.concatenate([kf, vf], axis=1)
         kv_new = kv_new.astype(cache.dtype)
         attn, cache = _attention_and_store(
             q, kv_new, cache, l, batch, n_kv=n_kv_l,
             page_size=page_size, sm_scale=sm_scale, use_pallas=use_pallas,
-            q_bucket=q_bucket, kv_scale=kv_scale)
+            q_bucket=q_bucket)
         attn = attn.reshape(T, n_q_l * hd)
         x = x + psum_tp(proj(attn, w["wo"]))
 
@@ -448,7 +481,7 @@ def forward_shard(
 def make_step_fn(mesh, cfg: LlamaModelConfig, *, page_size: int, q_bucket: int,
                  use_pallas: bool, T: int, B: int, Pg: int,
                  return_logits: bool = False, quant: str = "none",
-                 kv_scale: float = 1.0, use_sampler: bool = True):
+                 use_sampler: bool = True, fp8_scaled: bool = False):
     """Build the jitted SPMD step. KV cache and feedback buffer are donated.
     The batch arrives as ONE packed i32 buffer (see pack_step_batch) — a
     single host→device transfer per step."""
@@ -466,9 +499,9 @@ def make_step_fn(mesh, cfg: LlamaModelConfig, *, page_size: int, q_bucket: int,
         batch = unpack_step_batch(flat_batch, T, B, Pg)
         return forward_shard(params, kv_cache, feedback, batch, cfg=cfg,
                              page_size=page_size, q_bucket=q_bucket,
-                             use_pallas=use_pallas, kv_scale=kv_scale,
+                             use_pallas=use_pallas,
                              return_logits=return_logits,
-                             use_sampler=use_sampler)
+                             use_sampler=use_sampler, fp8_scaled=fp8_scaled)
 
     sharded = jax.shard_map(
         step, mesh=mesh,

@@ -147,13 +147,15 @@ def _make_chunk_io(cache_hbm, layer, page_table_ref, kv_buf, kv_sems, *,
 
 def _flash_inner(q2, kv_buf, start_next, wait_chunk, *, num_chunks, q_pos,
                  seq_len, chunk, chunk_pages, pages_needed, n_q, n_kv, hd,
-                 sm_scale):
+                 sm_scale, W):
     """Online-softmax flash attention over KV chunks for one tile of queries.
 
     q2: [rows, n_q*hd] VMEM value. Returns a list of [rows, hd] f32 per q head.
+    W: cache lane width — 2*n_kv*hd, plus the fp8 scale-lane tile if present.
     """
     group = n_q // n_kv
     rows = q2.shape[0]
+    KH = n_kv * hd
     m0 = jnp.full((n_q, rows, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((n_q, rows, 1), jnp.float32)
     a0 = jnp.zeros((n_q, rows, hd), jnp.float32)
@@ -167,7 +169,7 @@ def _flash_inner(q2, kv_buf, start_next, wait_chunk, *, num_chunks, q_pos,
             start_next(c + 1, jax.lax.rem(c + 1, 2), pages_needed)
 
         wait_chunk(slot, c * chunk_pages, pages_needed)
-        kv2 = kv_buf[slot].reshape(chunk, 2 * n_kv * hd)
+        kv2 = kv_buf[slot].reshape(chunk, W)
         key_pos = c * chunk + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
         # Zero rows that were never DMA'd (stale/uninit VMEM): 0-weighted NaN
         # would still poison the p@v matmul. Column-iota, no cross-lane reshape.
@@ -175,6 +177,15 @@ def _flash_inner(q2, kv_buf, start_next, wait_chunk, *, num_chunks, q_pos,
                        + jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0))
         kv2 = jnp.where(key_pos_col < pages_needed * (chunk // chunk_pages),
                         kv2, 0)
+        if W > 2 * KH:
+            # fp8 per-token scales ride the trailing lane tile: un-scale the
+            # K/V halves (power-of-2 scales, so this is exact).
+            kv2f = kv2.astype(jnp.float32)
+            inv_k = 1.0 / jnp.maximum(kv2f[:, 2 * KH:2 * KH + 1], 1e-20)
+            inv_v = 1.0 / jnp.maximum(kv2f[:, 2 * KH + 1:2 * KH + 2], 1e-20)
+            kv2 = jnp.concatenate([kv2f[:, :KH] * inv_k,
+                                   kv2f[:, KH:2 * KH] * inv_v],
+                                  axis=1).astype(q2.dtype)
         valid = (key_pos <= q_pos) & (key_pos < seq_len)   # [rows, chunk]
 
         new_m, new_l, new_acc = [], [], []
@@ -214,6 +225,7 @@ def _decode_kernel(
     cache_out,      # aliased HBM output — the kernel writes kv_new here
     kv_buf, kv_sems, w_buf, w_sem, ww_sem, ctr_ref, wpend_ref,
     *, page_size, chunk_pages, sm_scale, n_q, n_kv, hd, n_rows, rows_per_step,
+    W,
 ):
     """Decode attention with the KV-cache update fused in; ``rows_per_step``
     rows per grid step (amortizes grid/BlockSpec overhead).
@@ -326,7 +338,7 @@ def _decode_kernel(
                                 next_need, next_sel)
 
                 wait_chunk(slot, c * chunk_pages, need, sel)
-                kv2 = kv_buf[slot]                          # [chunk, 2*KH]
+                kv2 = kv_buf[slot]                          # [chunk, W]
                 key_pos = c * chunk + jax.lax.broadcasted_iota(
                     jnp.int32, (1, chunk), 1)
                 # Zero never-DMA'd rows (stale VMEM): 0 * NaN poisons p@v.
@@ -335,8 +347,16 @@ def _decode_kernel(
                 kv2 = jnp.where(key_pos_col < need * page_size, kv2, 0)
                 valid = key_pos < hist                      # [1, chunk]
 
-                k_all = kv2[:, :KH]                          # [chunk, KH]
-                v_all = kv2[:, KH:]
+                if W > 2 * KH:   # fp8: un-scale via the per-token scale lanes
+                    kv2f = kv2.astype(jnp.float32)
+                    inv_k = 1.0 / jnp.maximum(kv2f[:, 2 * KH:2 * KH + 1], 1e-20)
+                    inv_v = 1.0 / jnp.maximum(kv2f[:, 2 * KH + 1:2 * KH + 2],
+                                              1e-20)
+                    k_all = kv2f[:, :KH] * inv_k             # [chunk, KH]
+                    v_all = kv2f[:, KH:2 * KH] * inv_v
+                else:
+                    k_all = kv2[:, :KH]                      # [chunk, KH]
+                    v_all = kv2[:, KH:2 * KH]
                 sc = jax.lax.dot_general(
                     q_blk, k_all.astype(q_blk.dtype), (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32) * sm_scale
@@ -355,8 +375,14 @@ def _decode_kernel(
             m, l, acc = jax.lax.fori_loop(0, nc, body, (m0, l0, a0))
 
             # Fold in the new token (key position seq_len-1) from VMEM.
-            k_new_all = kv_new[:, :KH]                       # [1, KH] f32
-            v_new_all = kv_new[:, KH:]
+            if W > 2 * KH:   # fp8: un-scale the stored form for the math
+                ikn = 1.0 / jnp.maximum(kv_new[:, 2 * KH:2 * KH + 1], 1e-20)
+                ivn = 1.0 / jnp.maximum(kv_new[:, 2 * KH + 1:2 * KH + 2], 1e-20)
+                k_new_all = kv_new[:, :KH] * ikn             # [1, KH] f32
+                v_new_all = kv_new[:, KH:2 * KH] * ivn
+            else:
+                k_new_all = kv_new[:, :KH]                   # [1, KH] f32
+                v_new_all = kv_new[:, KH:2 * KH]
             s_new = jnp.sum(q_blk.astype(jnp.float32) * k_new_all,
                             axis=-1, keepdims=True) * sm_scale   # [n_q, 1]
             mi = jnp.maximum(m, s_new)
@@ -403,7 +429,7 @@ def _decode_kernel_grouped(
     o_ref,          # VMEM block [R*n_q, hd]
     cache_out,      # aliased HBM output
     kv_buf, kv_sems, w_buf, w_rsems, w_wsems, ctr_ref, wpend_ref,
-    *, page_size, chunk_pages, sm_scale, n_q, n_kv, hd, n_rows, R, br,
+    *, page_size, chunk_pages, sm_scale, n_q, n_kv, hd, n_rows, R, br, W,
 ):
     """R-row batched decode attention with the KV-cache update fused in.
 
@@ -437,10 +463,36 @@ def _decode_kernel_grouped(
     layer = layer_ref[0]
     chunk = chunk_pages * page_size
     group = n_q // n_kv
-    W = 2 * n_kv * hd
     KH = n_kv * hd
+    SL = W - 2 * KH          # fp8 per-token scale lanes (0 or 128)
     sizes = [z for z in _FAST_SIZES if z <= chunk_pages]
     n_groups = n_rows // R
+
+    def unscale_blocks(x):
+        """Per-row-block fp8 un-scaling of a [.., R*W] stored-form value:
+        K/V halves divided by their per-token power-of-2 scales; scale lanes
+        zeroed. Identity when SL == 0.
+
+        Cost-critical (runs per KV chunk): kept to ~3 full-width VPU volumes —
+        one fp8→bf16 upcast, one factor assembly (broadcast+concat), one
+        multiply. e4m3 values and power-of-2 scales are exact in bf16."""
+        if SL == 0:
+            return x
+        rows = x.shape[0]
+        xb = x.astype(jnp.bfloat16)
+        parts = []
+        for r in range(R):
+            base_ = r * W + 2 * KH
+            ik = (1.0 / jnp.maximum(
+                x[:, base_:base_ + 1].astype(jnp.float32), 1e-20)
+                  ).astype(jnp.bfloat16)                    # [rows, 1]
+            iv = (1.0 / jnp.maximum(
+                x[:, base_ + 1:base_ + 2].astype(jnp.float32), 1e-20)
+                  ).astype(jnp.bfloat16)
+            parts += [jnp.broadcast_to(ik, (rows, KH)),
+                      jnp.broadcast_to(iv, (rows, KH)),
+                      jnp.zeros((rows, SL), jnp.bfloat16)]
+        return xb * jnp.concatenate(parts, axis=1)
 
     def start_row(b, r, c, slot):
         """Start row b's chunk-c DMAs into lane block r of kv_buf[slot]."""
@@ -504,29 +556,43 @@ def _decode_kernel_grouped(
             def _(b=b, r=r):
                 wait_row(b, r, c, slot)
 
+    def start_rmw_reads(gb, par):
+        """Start group gb's read-modify-write page reads into parity ``par``."""
+        for r in range(R):
+            b = gb * R + r
+
+            @pl.when(q_lens_ref[b] > 0)
+            def _(b=b, r=r):
+                w_page = kv_slots_ref[b] // page_size
+                pltpu.make_async_copy(
+                    cache_in.at[layer, pl.ds(w_page * page_size, page_size)],
+                    w_buf.at[par, r], w_rsems.at[par, r]).start()
+
     @pl.when(g == 0)
     def _():
         ctr_ref[0] = 0
-        for r in range(R):
-            wpend_ref[r] = 0
+        for p_ in range(2):
+            for r in range(R):
+                wpend_ref[p_, r] = 0
         # Zero-fill the KV buffers ONCE: never-DMA'd regions then hold zeros
         # (first use) or a previous row's finite KV (later uses) — never NaN
         # bit patterns that would poison the p@v matmul through 0*NaN. This
         # replaces a per-chunk masking pass over the whole buffer.
         kv_buf[0] = jnp.zeros_like(kv_buf[0])
         kv_buf[1] = jnp.zeros_like(kv_buf[1])
-        for r in range(R):
-            w_buf[r] = jnp.zeros_like(w_buf[r])
 
         @pl.when(q_lens_ref[0] > 0)     # a fully masked step starts nothing
         def _():
             start_grp(0, 0, 0)
+            start_rmw_reads(0, 0)
 
     # Valid rows form a contiguous prefix (builder contract), so group
     # validity == its first row's validity.
     @pl.when(q_lens_ref[g * R] > 0)
     def _group():
         base = ctr_ref[0]
+        par = jax.lax.rem(g, 2)
+        par_n = 1 - par
         valids = [q_lens_ref[g * R + r] > 0 for r in range(R)]
         hists = [jnp.maximum(seq_lens_ref[g * R + r] - 1, 0) for r in range(R)]
         nc = pl.cdiv(hists[0], chunk)
@@ -536,23 +602,23 @@ def _decode_kernel_grouped(
         g_next = jnp.minimum(g + 1, n_groups - 1)
         next_valid = (g + 1 < n_groups) & (q_lens_ref[g_next * R] > 0)
 
-        # Previous group's write-back DMAs read w_buf; they must land before
-        # this group's page reads overwrite it.
+        # RMW page buffers are parity-double-buffered: THIS group's reads
+        # (parity par) were started a group ago and are in flight behind the
+        # previous group's compute. Start the NEXT group's reads now (parity
+        # par_n) — after waiting out group g-1's write-backs, which used the
+        # same parity and read from the same buffers.
         for r in range(R):
-            @pl.when(wpend_ref[r] == 1)
+            @pl.when(wpend_ref[par_n, r] == 1)
             def _(r=r):
                 pltpu.make_async_copy(
-                    w_buf.at[r], cache_out.at[layer, pl.ds(0, page_size)],
-                    w_wsems.at[r]).wait()     # shape-equivalent reconstruction
-                wpend_ref[r] = 0
-        # Start this group's RMW page reads early (overlap with attention).
-        for r in range(R):
-            @pl.when(valids[r])
-            def _(r=r):
-                w_page = kv_slots_ref[g * R + r] // page_size
-                pltpu.make_async_copy(
-                    cache_in.at[layer, pl.ds(w_page * page_size, page_size)],
-                    w_buf.at[r], w_rsems.at[r]).start()
+                    w_buf.at[par_n, r],
+                    cache_out.at[layer, pl.ds(0, page_size)],
+                    w_wsems.at[par_n, r]).wait()   # shape-equivalent
+                wpend_ref[par_n, r] = 0
+
+        @pl.when(next_valid)
+        def _():
+            start_rmw_reads(g_next, par_n)
 
         # hist == 0 groups run zero chunk iterations; keep the prefetch chain
         # alive here instead.
@@ -570,7 +636,7 @@ def _decode_kernel_grouped(
         # (col_iota % W) // hd >= n_kv on V-half lanes never equals a kv head
         # of a q row, so the V half stays zero.
         q_blk = jnp.where(on_diag & h_match,
-                          jnp.concatenate([q] * (2 * R * n_kv), axis=1), 0)
+                          jnp.concatenate([q] * (R * W // hd), axis=1), 0)
 
         # Per-row scalar vectors broadcast to compute shapes.
         def per_row_rows(vals):
@@ -603,7 +669,7 @@ def _decode_kernel_grouped(
             # Regions never DMA'd hold zeros or a previous row's finite KV
             # (buffers zero-filled at g == 0): the causal mask turns their
             # probabilities into exact zeros, so no data masking is needed.
-            kv2 = kv_buf[slot]                              # [chunk, RW]
+            kv2 = unscale_blocks(kv_buf[slot])              # [chunk, RW]
 
             sc = jax.lax.dot_general(
                 q_blk, kv2.astype(q_blk.dtype), (((1,), (1,)), ((), ())),
@@ -625,7 +691,7 @@ def _decode_kernel_grouped(
             own_v = jnp.zeros((RN, KH), jnp.float32)
             for r in range(R):
                 own_v = jnp.where(row_r == r,
-                                  pv[:, r * W + KH:(r + 1) * W], own_v)
+                                  pv[:, r * W + KH:r * W + 2 * KH], own_v)
             return (mi, li, acc * scale + own_v)
 
         m, l, acc = jax.lax.fori_loop(0, nc, body, (m0, l0, a0))
@@ -636,8 +702,9 @@ def _decode_kernel_grouped(
         blk_rows = kv_new_ref[...].astype(jnp.float32)       # [br, RW]
         bi = jax.lax.broadcasted_iota(jnp.int32, (br, 1), 0)
         knew_cat = jnp.sum(jnp.where(bi == g % br, blk_rows, 0),
-                           axis=0, keepdims=True)            # [1, RW]
-        s_new = jnp.sum(q_blk.astype(jnp.float32) * knew_cat,
+                           axis=0, keepdims=True)            # [1, RW] stored
+        knew_true = unscale_blocks(knew_cat)                 # [1, RW] actual
+        s_new = jnp.sum(q_blk.astype(jnp.float32) * knew_true,
                         axis=-1, keepdims=True) * sm_scale   # [RN, 1]
         mi = jnp.maximum(m, s_new)
         scale = jnp.exp(m - mi)
@@ -647,7 +714,7 @@ def _decode_kernel_grouped(
         v_own = jnp.zeros((RN, KH), jnp.float32)
         for r in range(R):
             v_own = jnp.where(row_r == r,
-                              knew_cat[:, r * W + KH:(r + 1) * W], v_own)
+                              knew_true[:, r * W + KH:r * W + 2 * KH], v_own)
         acc = (acc * scale + p_new * v_own) / jnp.maximum(l, 1e-30)
 
         # Extract each q row's own head block from [RN, KH].
@@ -667,30 +734,32 @@ def _decode_kernel_grouped(
             def _(r=r, b=b):
                 pltpu.make_async_copy(
                     cache_in.at[layer, pl.ds(0, page_size)],   # shape-only
-                    w_buf.at[r], w_rsems.at[r]).wait()
+                    w_buf.at[par, r], w_rsems.at[par, r]).wait()
                 w_off = kv_slots_ref[b] % page_size
                 w_page = kv_slots_ref[b] // page_size
                 kv_new_r = knew_cat[:, r * W:(r + 1) * W]      # [1, W] f32
                 sub_iota = jax.lax.broadcasted_iota(
                     jnp.int32, (page_size, 1), 0)
-                w_buf[r] = jnp.where(sub_iota == w_off,
-                                     kv_new_r.astype(w_buf.dtype), w_buf[r])
+                w_buf[par, r] = jnp.where(sub_iota == w_off,
+                                          kv_new_r.astype(w_buf.dtype),
+                                          w_buf[par, r])
                 pltpu.make_async_copy(
-                    w_buf.at[r],
+                    w_buf.at[par, r],
                     cache_out.at[layer, pl.ds(w_page * page_size, page_size)],
-                    w_wsems.at[r]).start()
-                wpend_ref[r] = 1
+                    w_wsems.at[par, r]).start()
+                wpend_ref[par, r] = 1
 
         @pl.when(jnp.logical_not(next_valid))
         def _():   # last valid group: all writes must land before kernel exit
-            for r in range(R):
-                @pl.when(wpend_ref[r] == 1)
-                def _(r=r):
-                    pltpu.make_async_copy(
-                        w_buf.at[r],
-                        cache_out.at[layer, pl.ds(0, page_size)],
-                        w_wsems.at[r]).wait()
-                    wpend_ref[r] = 0
+            for p_ in range(2):
+                for r in range(R):
+                    @pl.when(wpend_ref[p_, r] == 1)
+                    def _(p_=p_, r=r):
+                        pltpu.make_async_copy(
+                            w_buf.at[p_, r],
+                            cache_out.at[layer, pl.ds(0, page_size)],
+                            w_wsems.at[p_, r]).wait()
+                        wpend_ref[p_, r] = 0
 
 
 def _tiles_kernel(
@@ -699,7 +768,7 @@ def _tiles_kernel(
     cache_hbm,      # [S, 2*n_kv*hd]
     o_hbm,          # [T, n_q*hd]
     q_buf, kv_buf, o_buf, q_sem, kv_sems, o_sem,
-    *, page_size, tile_q, chunk_pages, sm_scale, n_q, n_kv, hd,
+    *, page_size, tile_q, chunk_pages, sm_scale, n_q, n_kv, hd, W,
 ):
     b = pl.program_id(0)
     t = pl.program_id(1)
@@ -734,7 +803,7 @@ def _tiles_kernel(
             q2, kv_buf, functools.partial(start_chunk, b), wait_chunk,
             num_chunks=num_chunks, q_pos=q_pos, seq_len=seq_len,
             chunk=chunk, chunk_pages=chunk_pages, pages_needed=pages_needed,
-            n_q=n_q, n_kv=n_kv, hd=hd, sm_scale=sm_scale)
+            n_q=n_q, n_kv=n_kv, hd=hd, sm_scale=sm_scale, W=W)
         for i in range(n_q):
             o_buf[:, i * hd:(i + 1) * hd] = outs[i].astype(o_buf.dtype)
         o_dma = pltpu.make_async_copy(
@@ -743,12 +812,13 @@ def _tiles_kernel(
         o_dma.wait()
 
 
-def _chunk_geometry(Pg, page_size, n_kv, hd, itemsize, max_chunk_pages):
-    """KV chunk sizing. Measured on v5e (SURVEY sweep 2026-08-16): ~512KB per
-    buffer with double-buffering reaches streaming peak; full-context chunks
-    serialize DMA behind compute and crater to <10% of peak."""
+def _chunk_geometry(Pg, page_size, W, itemsize, max_chunk_pages):
+    """KV chunk sizing (W = cache lane width). Measured on v5e (SURVEY sweep
+    2026-08-16): ~512KB per buffer with double-buffering reaches streaming
+    peak; full-context chunks serialize DMA behind compute and crater to
+    <10% of peak."""
     buf_budget = 512 * 1024
-    max_chunk_tokens = max(page_size, buf_budget // (2 * n_kv * hd * itemsize))
+    max_chunk_tokens = max(page_size, buf_budget // (W * itemsize))
     chunk_pages = max(1, min(Pg, next_power_of_2(max_chunk_tokens // page_size + 1) // 2))
     # v5e has 512 DMA-semaphore slots ("sflag" space); the double-buffered
     # per-page semaphore array (2 x chunk_pages) must fit with headroom.
@@ -777,14 +847,19 @@ def ragged_paged_attention(q, cache3, layer, batch, *, n_kv: int,
     Without kv_new, returns just `out` (caller has already scattered)."""
     T, n_q, hd = q.shape
     B, Pg = batch.page_table.shape
-    assert cache3.ndim == 3 and cache3.shape[2] == 2 * n_kv * hd
+    # Lane width: [K_all ‖ V_all] plus, under fp8 KV quant, one trailing
+    # 128-lane tile of per-token power-of-2 K/V scales (lane 0 = K, 1 = V).
+    SL = cache3.shape[2] - 2 * n_kv * hd
+    assert cache3.ndim == 3 and SL in (0, 128), \
+        f"cache lanes {cache3.shape[2]} vs 2*n_kv*hd={2*n_kv*hd}"
+    W = 2 * n_kv * hd + SL
     assert (n_q * hd) % 128 == 0, f"n_q*hd={n_q*hd} must be 128-aligned"
-    assert (2 * n_kv * hd) % 128 == 0, \
-        f"2*n_kv*hd={2*n_kv*hd} (cache lane dim) must be 128-aligned"
+    assert W % 128 == 0, f"cache lane dim {W} must be 128-aligned"
+    assert W % hd == 0
 
     itemsize = jnp.dtype(cache3.dtype).itemsize
     chunk_pages, max_chunks = _chunk_geometry(
-        Pg, page_size, n_kv, hd, itemsize, max_chunk_pages)
+        Pg, page_size, W, itemsize, max_chunk_pages)
     # Pad the page table so chunk reads never index out of bounds.
     pt = batch.page_table
     pad_pages = chunk_pages * max_chunks - Pg
@@ -824,16 +899,21 @@ def ragged_paged_attention(q, cache3, layer, batch, *, n_kv: int,
                         & (pow2 > 0) & (pow2 <= chunk_pages),
                         pow2, 0).astype(jnp.int32)
         R = 4 if B % 4 == 0 else 1      # rows per grid step
-        W = 2 * n_kv * hd
         if R > 1:
             # Grouped kernel: bigger per-slot KV buffers (R lane blocks wide);
             # re-derive the chunk geometry under a 4 MiB/slot budget.
-            buf_budget = 4 * 1024 * 1024
-            tokens = max(page_size, buf_budget // (R * W * itemsize))
-            chunk_pages = max(1, min(Pg, next_power_of_2(
-                tokens // page_size + 1) // 2))
-            # 512 sflag slots total: kv_sems is 2*R*chunk_pages (+2R for the
-            # write-back pairs) — cap so the worst case stays well under.
+            # ~256-token chunks: the block-diag matmuls span the whole chunk
+            # buffer (masked), so oversizing the chunk burns MXU FLOPs on
+            # padding — at short serving contexts a 512-token chunk doubled
+            # the attention matmul work for nothing. 256 still covers typical
+            # short-context histories with ONE fast-path DMA, and bounds the
+            # padding waste at long context to under one chunk.
+            chunk_pages = max(1, min(Pg, max(256 // page_size, 1)))
+            # VMEM guard (wide-W models) + 512-slot DMA-semaphore cap
+            # (kv_sems is 2*R*chunk_pages + 2R write-back pairs).
+            while (2 * R * chunk_pages * page_size * W * itemsize
+                   > 16 * 1024 * 1024) and chunk_pages > 1:
+                chunk_pages //= 2
             chunk_pages = min(chunk_pages, 32)
             if max_chunk_pages is not None:
                 chunk_pages = min(chunk_pages, max_chunk_pages)
@@ -860,17 +940,17 @@ def ragged_paged_attention(q, cache3, layer, batch, *, n_kv: int,
                     pltpu.VMEM((2, chunk_pages * page_size, R * W),
                                cache3.dtype),
                     pltpu.SemaphoreType.DMA((2, R, chunk_pages)),
-                    pltpu.VMEM((R, page_size, W), cache3.dtype),   # w_buf
-                    pltpu.SemaphoreType.DMA((R,)),     # page reads
-                    pltpu.SemaphoreType.DMA((R,)),     # page writes (deferred)
+                    pltpu.VMEM((2, R, page_size, W), cache3.dtype),  # w_buf
+                    pltpu.SemaphoreType.DMA((2, R)),   # page reads
+                    pltpu.SemaphoreType.DMA((2, R)),   # page writes (deferred)
                     pltpu.SMEM((1,), jnp.int32),       # chunk-slot parity
-                    pltpu.SMEM((R,), jnp.int32),       # write pending flags
+                    pltpu.SMEM((2, R), jnp.int32),     # write pending flags
                 ],
             )
             kernel = functools.partial(
                 _decode_kernel_grouped, page_size=page_size,
                 chunk_pages=chunk_pages, sm_scale=sm_scale, n_q=n_q,
-                n_kv=n_kv, hd=hd, n_rows=B, R=R, br=br)
+                n_kv=n_kv, hd=hd, n_rows=B, R=R, br=br, W=W)
             out, cache3 = pl.pallas_call(
                 kernel, grid_spec=grid_spec,
                 compiler_params=pltpu.CompilerParams(
@@ -901,10 +981,9 @@ def ragged_paged_attention(q, cache3, layer, batch, *, n_kv: int,
                 pl.BlockSpec(memory_space=pltpu.HBM),   # cache out (alias)
             ],
             scratch_shapes=[
-                pltpu.VMEM((2, chunk_pages * page_size, 2 * n_kv * hd),
-                           cache3.dtype),
+                pltpu.VMEM((2, chunk_pages * page_size, W), cache3.dtype),
                 pltpu.SemaphoreType.DMA((2, chunk_pages)),
-                pltpu.VMEM((page_size, 2 * n_kv * hd), cache3.dtype),  # w_buf
+                pltpu.VMEM((page_size, W), cache3.dtype),              # w_buf
                 pltpu.SemaphoreType.DMA,                 # page read
                 pltpu.SemaphoreType.DMA,                 # page write (deferred)
                 pltpu.SMEM((1,), jnp.int32),             # chunk-slot parity
@@ -914,7 +993,7 @@ def ragged_paged_attention(q, cache3, layer, batch, *, n_kv: int,
         kernel = functools.partial(
             _decode_kernel, page_size=page_size, chunk_pages=chunk_pages,
             sm_scale=sm_scale, n_q=n_q, n_kv=n_kv, hd=hd, n_rows=B,
-            rows_per_step=1)
+            rows_per_step=1, W=W)
         out, cache3 = pl.pallas_call(
             kernel, grid_spec=grid_spec,
             compiler_params=pltpu.CompilerParams(
@@ -945,7 +1024,7 @@ def ragged_paged_attention(q, cache3, layer, batch, *, n_kv: int,
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
             pltpu.VMEM((tile_q, n_q * hd), q.dtype),                        # q_buf
-            pltpu.VMEM((2, chunk_pages * page_size, 2 * n_kv * hd), cache3.dtype),
+            pltpu.VMEM((2, chunk_pages * page_size, W), cache3.dtype),
             pltpu.VMEM((tile_q, n_q * hd), q.dtype),                        # o_buf
             pltpu.SemaphoreType.DMA,                                        # q_sem
             pltpu.SemaphoreType.DMA((2, chunk_pages)),                      # kv_sems
@@ -954,7 +1033,8 @@ def ragged_paged_attention(q, cache3, layer, batch, *, n_kv: int,
     )
     kernel = functools.partial(
         _tiles_kernel, page_size=page_size, tile_q=tile_q,
-        chunk_pages=chunk_pages, sm_scale=sm_scale, n_q=n_q, n_kv=n_kv, hd=hd)
+        chunk_pages=chunk_pages, sm_scale=sm_scale, n_q=n_q, n_kv=n_kv, hd=hd,
+        W=W)
     out = pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T, n_q * hd), q.dtype),

@@ -87,14 +87,24 @@ class LlamaModel:
     def _weights_bytes(self) -> int:
         return sum(x.nbytes for x in jax.tree.leaves(self.params))
 
+    def _lanes_global(self) -> int:
+        """Cache lane width across all tp shards: [K_all ‖ V_all] per shard,
+        plus one per-shard scale-lane tile under fp8 KV quant (per-token
+        power-of-2 K/V scales — models/llama.py FP8_SCALE_LANES)."""
+        from swiftllm_tpu.models.llama import FP8_SCALE_LANES
+        lanes = self.num_kv_eff * 2 * self.model_config.head_dim
+        if self.engine_config.kv_quant == "fp8":
+            lanes += self.tp * FP8_SCALE_LANES
+        return lanes
+
     def _cache_shape(self, num_blocks_per_shard: int) -> tuple[int, ...]:
-        """3-D [L, S, n_kv*2*hd]; each tp shard's lane slice is [K_all ‖ V_all]
-        (its K heads contiguous, then its V heads) — stored in exactly the
-        shape the jitted step scans over (a reshape at the scan boundary
-        breaks XLA carry aliasing: two full-cache copies per step)."""
+        """3-D [L, S, lanes]; each tp shard's lane slice is [K_all ‖ V_all
+        (‖ scales)] (its K heads contiguous, then its V heads) — stored in
+        exactly the shape the jitted step scans over (a reshape at the scan
+        boundary breaks XLA carry aliasing: two full-cache copies per step)."""
         mc, cfg = self.model_config, self.engine_config
         s_local = (num_blocks_per_shard + 1) * cfg.block_size   # +1 garbage page
-        return (mc.num_layers, self.dp * s_local, self.num_kv_eff * 2 * mc.head_dim)
+        return (mc.num_layers, self.dp * s_local, self._lanes_global())
 
     def profile_num_blocks(self) -> int:
         """Pages per dp shard that fit in HBM, from compiled-program memory stats
@@ -124,7 +134,7 @@ class LlamaModel:
         temp = getattr(mem, "temp_size_in_bytes", 0)
 
         mc = self.model_config
-        block_bytes = (2 * mc.num_layers * self.num_kv_eff * mc.head_dim
+        block_bytes = (mc.num_layers * self._lanes_global()
                        * self.kv_dtype.itemsize * cfg.block_size
                        // self.tp)  # per-shard pages hold n_kv_eff/tp heads
         usable = int(limit * cfg.hbm_mem_utilization) - in_use - temp
@@ -166,7 +176,7 @@ class LlamaModel:
         if cfg.num_cpu_blocks > 0:
             self.cpu_cache = np.zeros(
                 (mc.num_layers, cfg.num_cpu_blocks * cfg.block_size,
-                 self.num_kv_eff * 2 * mc.head_dim),
+                 self._lanes_global()),
                 dtype=self.kv_dtype)
 
     @property
@@ -184,8 +194,8 @@ class LlamaModel:
                 q_bucket=key.q_len, use_pallas=self.engine_config.use_pallas,
                 T=key.tokens, B=key.rows, Pg=key.pages,
                 return_logits=return_logits, quant=self.engine_config.quant,
-                kv_scale=self.engine_config.kv_scale,
-                use_sampler=bool(key.sampling))
+                use_sampler=bool(key.sampling),
+                fp8_scaled=self.engine_config.kv_quant == "fp8")
         return self._step_fns[k]
 
     def _lower(self, key: BucketKey, num_blocks: int):
@@ -323,8 +333,7 @@ class LlamaModel:
         return padded, n
 
     def _page_bytes(self) -> int:
-        mc, cfg = self.model_config, self.engine_config
-        return (cfg.block_size * 2 * self.num_kv_eff * mc.head_dim
+        return (self.engine_config.block_size * self._lanes_global()
                 * self.kv_dtype.itemsize)
 
     def swap_out_seqs(self, requests: list[Request]):
@@ -363,7 +372,7 @@ class LlamaModel:
                 int(self._global_pages(g, self.num_blocks_per_shard)))
             pad_data = np.zeros((self.model_config.num_layers,
                                  len(padded) * cfg.block_size,
-                                 self.num_kv_eff * 2 * self.model_config.head_dim),
+                                 self._lanes_global()),
                                 self.kv_dtype)
             # Host gather swap-cache→staging: native run-coalesced memcpy.
             copy_pages(pad_data, self.cpu_cache,

@@ -20,9 +20,10 @@ def _run(kv_quant: str, n_decode=4):
                           vocab_size=128, max_position_embeddings=2048,
                           rms_norm_eps=1e-5)
     # Dummy weights produce tiny K/V (~1e-4), far below e4m3's subnormal
-    # floor; kv_scale moves them into range (real models sit near 1.0).
+    # floor — the per-token power-of-2 scale lanes must rescale them into
+    # range automatically (no tuning knob).
     ec = EngineConfig(model_path="", use_dummy=True, dtype="float32",
-                      kv_quant=kv_quant, kv_scale=4096.0 if kv_quant == "fp8" else 1.0,
+                      kv_quant=kv_quant,
                       block_size=32, num_hbm_blocks=32,
                       num_cpu_blocks=0, max_blocks_per_seq=8,
                       max_tokens_in_batch=64, prefill_chunk_size=32,
@@ -54,7 +55,12 @@ def test_fp8_cache_dtype_and_size():
     _, _, model = _run("fp8", n_decode=1)
     assert model.kv_cache.dtype == jnp.float8_e4m3fn
     _, _, base = _run("none", n_decode=1)
-    assert model.kv_cache.nbytes * 4 == base.kv_cache.nbytes  # fp8 vs f32
+    # fp8 is 1/4 the bytes of f32, plus one 128-lane scale tile per shard
+    # next to the 2*n_kv*hd = 64 data lanes.
+    lanes_fp8 = model.kv_cache.shape[2]
+    lanes_f32 = base.kv_cache.shape[2]
+    assert lanes_fp8 == lanes_f32 + 128
+    assert model.kv_cache.nbytes * 4 == base.kv_cache.nbytes * lanes_fp8 // lanes_f32
 
 
 def test_fp8_logits_close_to_full_precision():
@@ -70,3 +76,52 @@ def test_fp8_logits_close_to_full_precision():
 def test_fp8_requires_32_aligned_pages():
     with pytest.raises(AssertionError):
         EngineConfig(model_path="", kv_quant="fp8", block_size=16)
+
+
+def test_fp8_real_checkpoint_accuracy(tmp_path):
+    """Per-token-scale fp8 KV on a REAL (tiny, random-init) HF checkpoint:
+    greedy logits must stay close to the full-precision cache — no hand-tuned
+    scale anywhere (VERDICT r1: the old global kv_scale was an accuracy
+    hazard on checkpoints with K/V outliers)."""
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+    path = tmp_path / "fp8_llama"
+    cfg = LlamaConfig(vocab_size=128, hidden_size=64, intermediate_size=128,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=2, max_position_embeddings=256,
+                      rms_norm_eps=1e-5, tie_word_embeddings=False)
+    torch.manual_seed(7)
+    LlamaForCausalLM(cfg).eval().save_pretrained(str(path),
+                                                 safe_serialization=True)
+
+    def run(kv_quant):
+        ec = EngineConfig(model_path=str(path), dtype="float32",
+                          kv_quant=kv_quant, block_size=32, num_hbm_blocks=32,
+                          num_cpu_blocks=0, max_blocks_per_seq=8,
+                          max_tokens_in_batch=64, prefill_chunk_size=32,
+                          max_seqs_in_block_table=16, use_pallas=False)
+        model = LlamaModel(ec)
+        model.load_weights()
+        model.init_kvcache_and_swap()
+        r = Request(RawRequest("", 4))
+        r.set_prompt_token_ids([(i * 13) % 128 for i in range(24)])
+        r.seq_id = 0
+        _, _, logits = model.forward([ScheduledSeq(r, 24)], return_logits=True)
+        r.output_token_ids.append(0)
+        r.num_cached_tokens += 24
+        outs = [logits[0]]
+        for _ in range(3):
+            _, _, logits = model.forward([ScheduledSeq(r, 1)],
+                                         return_logits=True)
+            outs.append(logits[0])
+            r.output_token_ids.append(0)
+            r.num_cached_tokens += 1
+        return np.stack(outs)
+
+    base = run("none")
+    fp8 = run("fp8")
+    for i in range(base.shape[0]):
+        a, b = base[i].astype(np.float64), fp8[i].astype(np.float64)
+        cos = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert cos > 0.995, f"step {i}: cosine {cos}"
+        assert np.argmax(a) == np.argmax(b), f"step {i}: greedy token differs"

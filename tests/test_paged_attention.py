@@ -224,3 +224,70 @@ def test_decode_contiguous_pages_fast_path():
     batch = dataclasses.replace(batch, page_table=jnp.asarray(pt),
                                 kv_slots=jnp.asarray(kv_slots))
     compare(q, jnp.asarray(new_cache), batch, qb)
+
+
+def _to_scaled_fp8(cache):
+    """[S, 2, n_kv, hd] f32 → (stored [S, 2*KH+128] fp8 with per-token
+    power-of-2 scale lanes, dequantized float view [S, 2, n_kv, hd])."""
+    import ml_dtypes
+    S, _, n_kv, hd = cache.shape
+    KH = n_kv * hd
+    k = np.asarray(cache)[:, 0].reshape(S, KH)
+    v = np.asarray(cache)[:, 1].reshape(S, KH)
+
+    def pw2(m):
+        e = np.floor(np.log2(224.0 / np.maximum(m, 1e-20)))
+        return np.exp2(np.clip(e, -6, 8)).astype(np.float32)
+
+    ks = pw2(np.abs(k).max(1, keepdims=True))
+    vs = pw2(np.abs(v).max(1, keepdims=True))
+    sl = np.zeros((S, 128), np.float32)
+    sl[:, 0] = ks[:, 0]
+    sl[:, 1] = vs[:, 0]
+    stored = np.concatenate([k * ks, v * vs, sl], 1).astype(
+        ml_dtypes.float8_e4m3fn)
+    st = stored.astype(np.float32)
+    deq = np.stack([st[:, :KH] / np.maximum(st[:, 2 * KH:2 * KH + 1], 1e-20),
+                    st[:, KH:2 * KH] / np.maximum(st[:, 2 * KH + 1:2 * KH + 2],
+                                                  1e-20)],
+                   axis=1).reshape(S, 2, n_kv, hd)
+    return stored, deq
+
+
+@pytest.mark.parametrize("seq_specs", [
+    [(1, 9), (1, 33), (1, 64), (1, 1)],          # decode (fused-store path)
+    [(5, 29), (1, 17)],                           # mixed tile path
+])
+def test_fp8_per_token_scales(seq_specs):
+    """Kernels must consume the fp8 cache WITH inline per-token scale lanes
+    and match the jnp reference run on the exact dequantized values."""
+    rng = np.random.default_rng(11)
+    q, cache, batch, qb = make_case(rng, seq_specs, dtype=jnp.float32)
+    stored, deq = _to_scaled_fp8(cache)
+    ref = _ragged_paged_attention_jnp(q, jnp.asarray(deq), batch,
+                                      page_size=8, sm_scale=0.125, q_bucket=qb)
+    S = stored.shape[0]
+    n_kv, hd = cache.shape[2], cache.shape[3]
+    cache3 = jnp.asarray(np.stack([np.zeros_like(stored), stored,
+                                   np.zeros_like(stored)]))
+    if qb == 1:
+        kv_new = cache3[1][np.asarray(batch.kv_slots)]
+        got, cache_out = ragged_paged_attention(
+            q, cache3, jnp.int32(1), batch, n_kv=n_kv, page_size=8,
+            sm_scale=0.125, q_bucket=qb, kv_new=kv_new, interpret=INTERPRET)
+        np.testing.assert_array_equal(
+            np.asarray(cache_out).view(np.uint8),
+            np.asarray(cache3).view(np.uint8))   # write is a no-op here
+    else:
+        got = ragged_paged_attention(
+            q, cache3, jnp.int32(1), batch, n_kv=n_kv, page_size=8,
+            sm_scale=0.125, q_bucket=qb, interpret=INTERPRET)
+    q_starts = np.asarray(batch.q_starts)
+    q_lens = np.asarray(batch.q_lens)
+    for b in range(len(q_lens)):
+        if q_lens[b] == 0:
+            continue
+        sl = slice(int(q_starts[b]), int(q_starts[b] + q_lens[b]))
+        np.testing.assert_allclose(np.asarray(got[sl]), np.asarray(ref[sl]),
+                                   atol=max(ATOL, 1e-4), rtol=1e-3,
+                                   err_msg=f"row {b}")

@@ -115,10 +115,14 @@ def _perplexity(path, quant, token_ids):
     return float(np.exp(nll / count))
 
 
-def test_int8_perplexity_gate(real_tiny_ckpt):
-    """BASELINE.md north star: quantization costs <= 0.1 perplexity."""
+@pytest.mark.parametrize("quant,max_rel", [("int8", 0.001), ("int4", 0.01)])
+def test_quant_perplexity_gate(real_tiny_ckpt, quant, max_rel):
+    """BASELINE.md north star: quantization costs <= 0.1 perplexity at the
+    same bit-width. The random-init checkpoint sits at ppl ≈ vocab (≈128),
+    so the gate is expressed relative to base ppl — 0.1 on a real ~7-ppl
+    model ≈ 1.4% relative; we gate int4 at 1% and int8 at 0.1%."""
     rng = np.random.default_rng(0)
     tokens = rng.integers(0, 128, 48).tolist()
     base = _perplexity(real_tiny_ckpt, "none", tokens)
-    q8 = _perplexity(real_tiny_ckpt, "int8", tokens)
-    assert abs(q8 - base) < 0.1, f"ppl {base} -> {q8}"
+    q = _perplexity(real_tiny_ckpt, quant, tokens)
+    assert abs(q - base) / base < max_rel, f"{quant}: ppl {base} -> {q}"
