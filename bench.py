@@ -113,6 +113,8 @@ def main():
     p.add_argument("--quant", default="none", choices=("none", "int8", "int4"))
     p.add_argument("--kv-quant", default="none", choices=("none", "fp8"))
     p.add_argument("--use-pallas", default=None, type=lambda s: s.lower() in ("1", "true"))
+    p.add_argument("--max-tokens", type=int, default=None,
+                   help="per-step flat token budget (default max(2048, batch))")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--selftest", action="store_true")
     args = p.parse_args()
@@ -152,7 +154,7 @@ def main():
         num_cpu_blocks=0,
         max_blocks_per_seq=pages_per_seq,
         max_batch_size=args.batch,
-        max_tokens_in_batch=max(2048, args.batch),
+        max_tokens_in_batch=args.max_tokens or max(2048, args.batch),
         prefill_chunk_size=512,
         max_seqs_in_block_table=max(args.batch, 16),
         use_pallas=use_pallas)

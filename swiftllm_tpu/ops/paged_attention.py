@@ -145,77 +145,6 @@ def _make_chunk_io(cache_hbm, layer, page_table_ref, kv_buf, kv_sems, *,
     return start_chunk, wait_chunk
 
 
-def _flash_inner(q2, kv_buf, start_next, wait_chunk, *, num_chunks, q_pos,
-                 seq_len, chunk, chunk_pages, pages_needed, n_q, n_kv, hd,
-                 sm_scale, W):
-    """Online-softmax flash attention over KV chunks for one tile of queries.
-
-    q2: [rows, n_q*hd] VMEM value. Returns a list of [rows, hd] f32 per q head.
-    W: cache lane width — 2*n_kv*hd, plus the fp8 scale-lane tile if present.
-    """
-    group = n_q // n_kv
-    rows = q2.shape[0]
-    KH = n_kv * hd
-    m0 = jnp.full((n_q, rows, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((n_q, rows, 1), jnp.float32)
-    a0 = jnp.zeros((n_q, rows, hd), jnp.float32)
-
-    def body(c, carry):
-        m, l, acc = carry
-        slot = jax.lax.rem(c, 2)
-
-        @pl.when(c + 1 < num_chunks)
-        def _():
-            start_next(c + 1, jax.lax.rem(c + 1, 2), pages_needed)
-
-        wait_chunk(slot, c * chunk_pages, pages_needed)
-        kv2 = kv_buf[slot].reshape(chunk, W)
-        key_pos = c * chunk + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
-        # Zero rows that were never DMA'd (stale/uninit VMEM): 0-weighted NaN
-        # would still poison the p@v matmul. Column-iota, no cross-lane reshape.
-        key_pos_col = (c * chunk
-                       + jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0))
-        kv2 = jnp.where(key_pos_col < pages_needed * (chunk // chunk_pages),
-                        kv2, 0)
-        if W > 2 * KH:
-            # fp8 per-token scales ride the trailing lane tile: un-scale the
-            # K/V halves (power-of-2 scales, so this is exact).
-            kv2f = kv2.astype(jnp.float32)
-            inv_k = 1.0 / jnp.maximum(kv2f[:, 2 * KH:2 * KH + 1], 1e-20)
-            inv_v = 1.0 / jnp.maximum(kv2f[:, 2 * KH + 1:2 * KH + 2], 1e-20)
-            kv2 = jnp.concatenate([kv2f[:, :KH] * inv_k,
-                                   kv2f[:, KH:2 * KH] * inv_v],
-                                  axis=1).astype(q2.dtype)
-        valid = (key_pos <= q_pos) & (key_pos < seq_len)   # [rows, chunk]
-
-        new_m, new_l, new_acc = [], [], []
-        for i in range(n_q):
-            h = i // group
-            qi = q2[:, i * hd:(i + 1) * hd]                 # [rows, hd]
-            kh = kv2[:, h * hd:(h + 1) * hd]                # [chunk, hd]
-            vh = kv2[:, (n_kv + h) * hd:(n_kv + h + 1) * hd]
-            s = jax.lax.dot_general(
-                qi, kh.astype(qi.dtype), (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * sm_scale
-            s = jnp.where(valid, s, NEG_INF)
-
-            mi = jnp.maximum(m[i], jnp.max(s, axis=-1, keepdims=True))
-            p = jnp.exp(s - mi)
-            scale = jnp.exp(m[i] - mi)
-            li = l[i] * scale + jnp.sum(p, axis=-1, keepdims=True)
-            ai = acc[i] * scale + jax.lax.dot_general(
-                p.astype(q2.dtype), vh.astype(q2.dtype),
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            new_m.append(mi)
-            new_l.append(li)
-            new_acc.append(ai)
-        return (jnp.stack(new_m), jnp.stack(new_l), jnp.stack(new_acc))
-
-    m, l, acc = jax.lax.fori_loop(0, num_chunks, body, (m0, l0, a0))
-    return [acc[i] / jnp.maximum(l[i], 1e-30) for i in range(n_q)]
-
-
 def _decode_kernel(
     layer_ref, q_lens_ref, seq_lens_ref, page_table_ref, kv_slots_ref, sel_ref,
     q_ref,          # VMEM block [rows_per_step*n_q, hd] (heads as sublanes)
@@ -468,31 +397,23 @@ def _decode_kernel_grouped(
     sizes = [z for z in _FAST_SIZES if z <= chunk_pages]
     n_groups = n_rows // R
 
-    def unscale_blocks(x):
-        """Per-row-block fp8 un-scaling of a [.., R*W] stored-form value:
-        K/V halves divided by their per-token power-of-2 scales; scale lanes
-        zeroed. Identity when SL == 0.
+    def scale_selector():
+        """Constant [2R, RW] matrix whose row 2r (2r+1) one-hot-selects row
+        block r's K (V) scale lane. ``E @ kv2^T`` then yields every key's
+        scales as ROWS [2R, chunk] — the MXU transposes the per-key scale
+        column for free, so fp8 un-scaling happens in SCORE space ([RN,chunk]
+        multiplies) instead of re-materializing the whole KV chunk (which
+        measured ~950 µs/layer at 8K context — 3.6x the bf16 kernel)."""
+        ri = jax.lax.broadcasted_iota(jnp.int32, (2 * R, R * W), 0)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (2 * R, R * W), 1)
+        target = (ri // 2) * W + 2 * KH + (ri % 2)
+        return (ci == target).astype(jnp.bfloat16)
 
-        Cost-critical (runs per KV chunk): kept to ~3 full-width VPU volumes —
-        one fp8→bf16 upcast, one factor assembly (broadcast+concat), one
-        multiply. e4m3 values and power-of-2 scales are exact in bf16."""
-        if SL == 0:
-            return x
-        rows = x.shape[0]
-        xb = x.astype(jnp.bfloat16)
-        parts = []
-        for r in range(R):
-            base_ = r * W + 2 * KH
-            ik = (1.0 / jnp.maximum(
-                x[:, base_:base_ + 1].astype(jnp.float32), 1e-20)
-                  ).astype(jnp.bfloat16)                    # [rows, 1]
-            iv = (1.0 / jnp.maximum(
-                x[:, base_ + 1:base_ + 2].astype(jnp.float32), 1e-20)
-                  ).astype(jnp.bfloat16)
-            parts += [jnp.broadcast_to(ik, (rows, KH)),
-                      jnp.broadcast_to(iv, (rows, KH)),
-                      jnp.zeros((rows, SL), jnp.bfloat16)]
-        return xb * jnp.concatenate(parts, axis=1)
+    def per_key_inv_scales(E, kv2b):
+        """[2R, chunk] reciprocals of the chunk's per-key K/V scales."""
+        sel = jax.lax.dot_general(E, kv2b, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        return 1.0 / jnp.maximum(sel, 1e-20)
 
     def start_row(b, r, c, slot):
         """Start row b's chunk-c DMAs into lane block r of kv_buf[slot]."""
@@ -648,6 +569,8 @@ def _decode_kernel_grouped(
             return out
 
         hist_rows = per_row_rows(hists)                     # [RN, 1]
+        row_blk = jax.lax.broadcasted_iota(jnp.int32, (RN, 1), 0) // n_q
+        E = scale_selector() if SL else None
 
         m0 = jnp.full((RN, 1), NEG_INF, jnp.float32)
         l0 = jnp.zeros((RN, 1), jnp.float32)
@@ -669,11 +592,22 @@ def _decode_kernel_grouped(
             # Regions never DMA'd hold zeros or a previous row's finite KV
             # (buffers zero-filled at g == 0): the causal mask turns their
             # probabilities into exact zeros, so no data masking is needed.
-            kv2 = unscale_blocks(kv_buf[slot])              # [chunk, RW]
+            kv2 = kv_buf[slot].astype(q_blk.dtype)          # [chunk, RW]
 
             sc = jax.lax.dot_general(
-                q_blk, kv2.astype(q_blk.dtype), (((1,), (1,)), ((), ())),
+                q_blk, kv2, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * sm_scale  # [RN, chunk]
+            if SL:
+                # fp8: scores/probs carry the stored scales; divide them out
+                # in SCORE space (per key, per row block).
+                inv = per_key_inv_scales(E, kv2)             # [2R, chunk]
+                kmat = jnp.zeros((RN, chunk), jnp.float32)
+                vmat = jnp.zeros((RN, chunk), jnp.float32)
+                for r in range(R):
+                    kmat = jnp.where(row_blk == r, inv[2 * r:2 * r + 1], kmat)
+                    vmat = jnp.where(row_blk == r, inv[2 * r + 1:2 * r + 2],
+                                     vmat)
+                sc = sc * kmat
             key_row = c * chunk + jax.lax.broadcasted_iota(
                 jnp.int32, (1, chunk), 1)
             sc = jnp.where(key_row < hist_rows, sc, NEG_INF)
@@ -682,8 +616,9 @@ def _decode_kernel_grouped(
             pr = jnp.exp(sc - mi)
             scale = jnp.exp(m - mi)
             li = l * scale + jnp.sum(pr, axis=-1, keepdims=True)
+            pr_v = (pr * vmat) if SL else pr    # un-scale V via the probs
             pv = jax.lax.dot_general(
-                pr.astype(q.dtype), kv2.astype(q.dtype),
+                pr_v.astype(q.dtype), kv2,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)          # [RN, RW]
             # Extract each row block's OWN V half.
@@ -703,19 +638,29 @@ def _decode_kernel_grouped(
         bi = jax.lax.broadcasted_iota(jnp.int32, (br, 1), 0)
         knew_cat = jnp.sum(jnp.where(bi == g % br, blk_rows, 0),
                            axis=0, keepdims=True)            # [1, RW] stored
-        knew_true = unscale_blocks(knew_cat)                 # [1, RW] actual
-        s_new = jnp.sum(q_blk.astype(jnp.float32) * knew_true,
+        s_new = jnp.sum(q_blk.astype(jnp.float32) * knew_cat,
                         axis=-1, keepdims=True) * sm_scale   # [RN, 1]
+        if SL:
+            kcol = jnp.zeros((RN, 1), jnp.float32)
+            vcol = jnp.zeros((RN, 1), jnp.float32)
+            for r in range(R):
+                base_ = r * W + 2 * KH
+                ik = 1.0 / jnp.maximum(knew_cat[:, base_:base_ + 1], 1e-20)
+                iv = 1.0 / jnp.maximum(knew_cat[:, base_ + 1:base_ + 2], 1e-20)
+                kcol = jnp.where(row_blk == r, ik, kcol)
+                vcol = jnp.where(row_blk == r, iv, vcol)
+            s_new = s_new * kcol
         mi = jnp.maximum(m, s_new)
         scale = jnp.exp(m - mi)
         p_new = jnp.exp(s_new - mi)
         l = l * scale + p_new
+        p_eff = (p_new * vcol) if SL else p_new
         row_r = jax.lax.broadcasted_iota(jnp.int32, (RN, KH), 0) // n_q
         v_own = jnp.zeros((RN, KH), jnp.float32)
         for r in range(R):
             v_own = jnp.where(row_r == r,
-                              knew_true[:, r * W + KH:r * W + 2 * KH], v_own)
-        acc = (acc * scale + p_new * v_own) / jnp.maximum(l, 1e-30)
+                              knew_cat[:, r * W + KH:r * W + 2 * KH], v_own)
+        acc = (acc * scale + p_eff * v_own) / jnp.maximum(l, 1e-30)
 
         # Extract each q row's own head block from [RN, KH].
         out = jnp.zeros((RN, hd), jnp.float32)
@@ -764,15 +709,30 @@ def _decode_kernel_grouped(
 
 def _tiles_kernel(
     layer_ref, q_starts_ref, q_lens_ref, seq_lens_ref, page_table_ref,
-    q_hbm,          # [T, n_q*hd]
-    cache_hbm,      # [S, 2*n_kv*hd]
-    o_hbm,          # [T, n_q*hd]
+    q_hbm,          # [n_q, T, hdp]  (head-major, head_dim lane-padded to 128)
+    cache_hbm,      # [S, W]
+    o_hbm,          # [n_q, T, hdp]
     q_buf, kv_buf, o_buf, q_sem, kv_sems, o_sem,
-    *, page_size, tile_q, chunk_pages, sm_scale, n_q, n_kv, hd, W,
+    *, page_size, tile_q, chunk_pages, sm_scale, n_q, n_kv, hd, W, hdp,
 ):
+    """Prefill/mixed tile attention, heads batched per KV head.
+
+    q arrives HEAD-MAJOR with the head dim padded to a full 128-lane tile
+    ([n_q, T, hdp], an XLA transpose+pad at the call site — Mosaic requires
+    DMA-sliceable minors of >=128 lanes, and the padding keeps every
+    per-head value at lane offset 0 so sublane concats are legal). The tile's
+    queries stack each GQA group onto SUBLANES: per KV head ONE
+    [group*tile_q, chunk] matmul scores the whole group at once, and the
+    online-softmax bookkeeping batches group-wide. The per-q-head loop this
+    replaces issued n_q tiny matmuls + n_q softmax chains per chunk and
+    measured ~180x its FLOP cost (19.6 ms of a 50 ms 2k-token prefill step at
+    1B dims on v5e)."""
     b = pl.program_id(0)
     t = pl.program_id(1)
     chunk = chunk_pages * page_size
+    group = n_q // n_kv
+    KH = n_kv * hd
+    NG = group * tile_q
     q_len = q_lens_ref[b]
     seq_len = seq_lens_ref[b]
     q_start = q_starts_ref[b]
@@ -785,7 +745,7 @@ def _tiles_kernel(
         # Spans are tile-aligned by the builder, so this offset is aligned.
         tile_start = pl.multiple_of(q_start + t * tile_q, tile_q)
         q_dma = pltpu.make_async_copy(
-            q_hbm.at[pl.ds(tile_start, tile_q)], q_buf, q_sem)
+            q_hbm.at[:, pl.ds(tile_start, tile_q), :], q_buf, q_sem)
         q_dma.start()
 
         # Causal upper bound on the KV this tile can see.
@@ -795,19 +755,88 @@ def _tiles_kernel(
 
         start_chunk(b, 0, 0, pages_needed)
         q_dma.wait()
-        q2 = q_buf[:]                                       # [tile_q, n_q*hd]
-        q_pos = (seq_len - q_len + t * tile_q
-                 + jax.lax.broadcasted_iota(jnp.int32, (tile_q, 1), 0))
+        q4 = q_buf[...]                 # [n_q, tile_q, hdp]
 
-        outs = _flash_inner(
-            q2, kv_buf, functools.partial(start_chunk, b), wait_chunk,
-            num_chunks=num_chunks, q_pos=q_pos, seq_len=seq_len,
-            chunk=chunk, chunk_pages=chunk_pages, pages_needed=pages_needed,
-            n_q=n_q, n_kv=n_kv, hd=hd, sm_scale=sm_scale, W=W)
-        for i in range(n_q):
-            o_buf[:, i * hd:(i + 1) * hd] = outs[i].astype(o_buf.dtype)
+        def qh_rows(h):
+            """KV head h's GQA group stacked on sublanes: [group*tile_q, hd]."""
+            return jnp.concatenate(
+                [q4[h * group + j][:, :hd] for j in range(group)], axis=0)
+
+        # Query position of stacked row i: its tile position is i % tile_q.
+        q_pos = (seq_len - q_len + t * tile_q
+                 + jax.lax.broadcasted_iota(jnp.int32, (NG, 1), 0) % tile_q)
+
+        m0 = jnp.full((n_kv, NG, 1), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((n_kv, NG, 1), jnp.float32)
+        a0 = jnp.zeros((n_kv, NG, hd), jnp.float32)
+
+        def body(c, carry):
+            m, l, acc = carry
+            slot = jax.lax.rem(c, 2)
+
+            @pl.when(c + 1 < num_chunks)
+            def _():
+                start_chunk(b, c + 1, jax.lax.rem(c + 1, 2), pages_needed)
+
+            wait_chunk(slot, c * chunk_pages, pages_needed)
+            kv2 = kv_buf[slot].reshape(chunk, W)
+            key_pos = c * chunk + jax.lax.broadcasted_iota(
+                jnp.int32, (1, chunk), 1)
+            # Zero rows never DMA'd (stale/uninit VMEM): 0 * NaN poisons p@v.
+            key_col = (c * chunk + jax.lax.broadcasted_iota(
+                jnp.int32, (chunk, 1), 0))
+            kv2 = jnp.where(
+                key_col < pages_needed * (chunk // chunk_pages), kv2, 0)
+            if W > 2 * KH:
+                # fp8 per-token scales: recover in SCORE space via a one-hot
+                # selector matmul (MXU transposes the scale column for free).
+                ri2 = jax.lax.broadcasted_iota(jnp.int32, (2, W), 0)
+                ci2 = jax.lax.broadcasted_iota(jnp.int32, (2, W), 1)
+                E2 = (ci2 == 2 * KH + ri2).astype(q4.dtype)
+                sel = jax.lax.dot_general(
+                    E2, kv2.astype(q4.dtype), (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                inv2 = 1.0 / jnp.maximum(sel, 1e-20)
+                krow, vrow = inv2[0:1], inv2[1:2]            # [1, chunk]
+            else:
+                krow = vrow = None
+            valid = (key_pos <= q_pos) & (key_pos < seq_len)   # [NG, chunk]
+
+            new_m, new_l, new_acc = [], [], []
+            for h in range(n_kv):
+                qh = qh_rows(h)                              # [NG, hd]
+                kh = kv2[:, h * hd:(h + 1) * hd]
+                vh = kv2[:, KH + h * hd:KH + (h + 1) * hd]
+                s = jax.lax.dot_general(
+                    qh, kh.astype(qh.dtype), (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * sm_scale
+                if krow is not None:
+                    s = s * krow
+                s = jnp.where(valid, s, NEG_INF)
+                mi = jnp.maximum(m[h], jnp.max(s, axis=-1, keepdims=True))
+                p = jnp.exp(s - mi)
+                scale = jnp.exp(m[h] - mi)
+                li = l[h] * scale + jnp.sum(p, axis=-1, keepdims=True)
+                p_v = p * vrow if vrow is not None else p
+                ai = acc[h] * scale + jax.lax.dot_general(
+                    p_v.astype(qh.dtype), vh.astype(qh.dtype),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                new_m.append(mi)
+                new_l.append(li)
+                new_acc.append(ai)
+            return (jnp.stack(new_m), jnp.stack(new_l), jnp.stack(new_acc))
+
+        m, l, acc = jax.lax.fori_loop(0, num_chunks, body, (m0, l0, a0))
+        for h in range(n_kv):
+            out_h = acc[h] / jnp.maximum(l[h], 1e-30)        # [NG, hd]
+            if hdp > hd:
+                out_h = jnp.pad(out_h, ((0, 0), (0, hdp - hd)))
+            for j in range(group):
+                o_buf[h * group + j] = out_h[
+                    j * tile_q:(j + 1) * tile_q].astype(o_buf.dtype)
         o_dma = pltpu.make_async_copy(
-            o_buf, o_hbm.at[pl.ds(tile_start, tile_q)], o_sem)
+            o_buf, o_hbm.at[:, pl.ds(tile_start, tile_q), :], o_sem)
         o_dma.start()
         o_dma.wait()
 
@@ -869,6 +898,10 @@ def ragged_paged_attention(q, cache3, layer, batch, *, n_kv: int,
 
     tile_q = tile_q_for(q_bucket)
     scalars = (layer_arr, batch.q_starts, batch.q_lens, batch.seq_lens, pt)
+    # The tile kernel's q layout pads head_dim to a full lane tile so the
+    # head-major DMA minor is >= 128 and in-kernel head stacking stays at
+    # lane offset 0.
+    hdp = max(hd, 128)
 
     if tile_q == 1:
         # Decode: the builder packs decode tokens so flat index == row index.
@@ -1012,6 +1045,21 @@ def ragged_paged_attention(q, cache3, layer, batch, *, n_kv: int,
             out = jnp.pad(out, ((0, T - B), (0, 0)))
         return out.reshape(T, n_q, hd), cache3
 
+    # Tile path: each q-tile re-streams its row's KV history, so the
+    # per-chunk fixed cost (DMA waits + loop bookkeeping) multiplies by
+    # tiles x chunks. Use larger chunks than the decode path (2 MiB/slot) to
+    # cut the iteration count; the 512-slot semaphore cap still binds.
+    tile_tokens = max(page_size, (2 * 1024 * 1024) // (W * itemsize))
+    chunk_pages = max(1, min(Pg, tile_tokens // page_size))
+    chunk_pages = min(chunk_pages, 32)
+    if max_chunk_pages is not None:
+        chunk_pages = min(chunk_pages, max_chunk_pages)
+    max_chunks = cdiv(Pg, chunk_pages)
+    pad_pages = chunk_pages * max_chunks - Pg
+    pt = (jnp.pad(batch.page_table, ((0, 0), (0, pad_pages)))
+          if pad_pages else batch.page_table)
+    scalars = (layer_arr, batch.q_starts, batch.q_lens, batch.seq_lens, pt)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(B, cdiv(q_bucket, tile_q)),
@@ -1023,9 +1071,9 @@ def ragged_paged_attention(q, cache3, layer, batch, *, n_kv: int,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
-            pltpu.VMEM((tile_q, n_q * hd), q.dtype),                        # q_buf
+            pltpu.VMEM((n_q, tile_q, hdp), q.dtype),                        # q_buf
             pltpu.VMEM((2, chunk_pages * page_size, W), cache3.dtype),
-            pltpu.VMEM((tile_q, n_q * hd), q.dtype),                        # o_buf
+            pltpu.VMEM((n_q, tile_q, hdp), q.dtype),                        # o_buf
             pltpu.SemaphoreType.DMA,                                        # q_sem
             pltpu.SemaphoreType.DMA((2, chunk_pages)),                      # kv_sems
             pltpu.SemaphoreType.DMA,                                        # o_sem
@@ -1034,12 +1082,18 @@ def ragged_paged_attention(q, cache3, layer, batch, *, n_kv: int,
     kernel = functools.partial(
         _tiles_kernel, page_size=page_size, tile_q=tile_q,
         chunk_pages=chunk_pages, sm_scale=sm_scale, n_q=n_q, n_kv=n_kv, hd=hd,
-        W=W)
-    out = pl.pallas_call(
+        W=W, hdp=hdp)
+    # Head-block-major q in / out: an XLA transpose at the boundary is a tiny
+    # relayout of q-sized data; it buys the kernel group-wide sublane-stacked
+    # matmuls (see _tiles_kernel).
+    q_hm = jnp.swapaxes(q, 0, 1)                     # [n_q, T, hd]
+    if hdp > hd:
+        q_hm = jnp.pad(q_hm, ((0, 0), (0, 0), (0, hdp - hd)))
+    out3 = pl.pallas_call(
         kernel, grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((T, n_q * hd), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((n_q, T, hdp), q.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(*scalars, q.reshape(T, n_q * hd), cache3)
-    return out.reshape(T, n_q, hd)
+    )(*scalars, q_hm, cache3)
+    return jnp.swapaxes(out3[:, :, :hd], 0, 1)

@@ -124,11 +124,65 @@ def build_step_batch(
 
     rows: list[ScheduledSeq] = [None] * (dp * B)  # type: ignore
 
+    def fill_decode_group(g: int, group, mgr):
+        """Vectorized fast path for an all-decode group (the steady serving
+        state): one list pass + a dozen vector ops instead of ~20 small numpy
+        ops per row (~0.9 ms/step of host Python at b64, which bounds TPOT
+        once the device step dips below it)."""
+        n = len(group)
+        reqs = [s.request for s in group]
+        seq_ids = np.fromiter((r.seq_id for r in reqs), np.int32, n)
+        ends = np.fromiter((r.num_cached_tokens + 1 for r in reqs), np.int64, n)
+        pos = ends - 1
+        have = mgr.num_seq_allocated_blocks[seq_ids]
+        need = (ends + ps - 1) // ps
+        for i in np.nonzero(need > have)[0]:
+            mgr.allocate_for_seq(int(seq_ids[i]), int(ends[i]))
+        assert int(need.max(initial=0)) <= Pg, \
+            f"dp group {g}: {int(need.max())} pages > bucket {Pg}"
+        pt = mgr.block_table[seq_ids, :Pg]                   # [n, Pg]
+        page_table[g, :n, :] = pt
+        # NOTE: columns beyond a row's allocated count hold stale table
+        # entries; the kernels never DMA beyond cdiv(seq_len-1, ps) pages.
+        kv_slots[g, :n] = pt[np.arange(n), pos // ps] * ps + pos % ps
+        positions[g, :n] = pos
+        q_starts[g, :n] = np.arange(n, dtype=np.int32)
+        q_lens[g, :n] = 1
+        seq_lens[g, :n] = ends
+        decode_row[g, :n] = True
+        toks = np.zeros(n, np.int32)
+        for i, r in enumerate(reqs):
+            idx = r.num_cached_tokens
+            t = (r.output_token_ids[idx - r.prompt_len]
+                 if idx >= r.prompt_len else r.prompt_token_ids[idx])
+            if t is None:   # still on device: read from the feedback buffer
+                feedback_read[g, i] = r.seq_id
+            else:
+                toks[i] = t
+        token_ids[g, :n] = toks
+        samples = np.fromiter((r.num_cached_tokens + 1 == r.total_len
+                               for r in reqs), bool, n)
+        sample_mask[g, :n] = samples
+        feedback_write[g, :n] = np.where(samples, seq_ids, garbage_fb_slot)
+        temperature[g, :n] = np.fromiter((r.temperature for r in reqs),
+                                         np.float32, n)
+        top_p[g, :n] = np.fromiter((r.top_p for r in reqs), np.float32, n)
+        top_k[g, :n] = np.fromiter((r.top_k for r in reqs), np.int32, n)
+        seeds[g, :n] = ((np.fromiter((r.sampling_seed for r in reqs),
+                                     np.uint64, n) * np.uint64(2654435761)
+                        + ends.astype(np.uint64)) & np.uint64(0xFFFFFFFF)
+                        ).astype(np.uint32)
+        for i, s in enumerate(group):
+            rows[g * B + i] = s
+
     for g, (group, mgr) in enumerate(zip(groups, block_mgrs)):
         assert len(group) <= B, f"dp group {g} has {len(group)} rows > bucket {B}"
         garbage_slot = mgr.num_blocks * ps
         kv_slots[g, :] = garbage_slot
         kv_slots_scatter[g, :] = garbage_slot
+        if group and all(s.n_tokens == 1 for s in group):
+            fill_decode_group(g, group, mgr)
+            continue
         # Decode-kind rows FIRST and packed densely so flat token == row index
         # (the fused decode kernel's contract); prefill spans follow,
         # tile-aligned for the tile kernel's DMAs.
