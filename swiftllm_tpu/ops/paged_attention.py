@@ -69,12 +69,6 @@ def smem_pages_cap(rows: int) -> int:
     return max(1, 1 << (cap.bit_length() - 1))
 
 
-def _wait_page_write(cache_out, w_buf, sem, layer, page_size):
-    # Shape-equivalent reconstruction to wait on the deferred write DMA.
-    pltpu.make_async_copy(
-        w_buf, cache_out.at[layer, pl.ds(0, page_size)], sem).wait()
-
-
 _FAST_SIZES = (1, 2, 4, 8, 16, 32)
 
 
@@ -143,211 +137,6 @@ def _make_chunk_io(cache_hbm, layer, page_table_ref, kv_buf, kv_sems, *,
                 ).wait()
 
     return start_chunk, wait_chunk
-
-
-def _decode_kernel(
-    layer_ref, q_lens_ref, seq_lens_ref, page_table_ref, kv_slots_ref, sel_ref,
-    q_ref,          # VMEM block [rows_per_step*n_q, hd] (heads as sublanes)
-    kv_new_ref,     # VMEM full array [n_rows, n_kv*2*hd] — the step's new K‖V
-    cache_in,       # [L, S, n_kv*2*hd] HBM (aliased with cache_out)
-    o_ref,          # VMEM block [rows_per_step*n_q, hd]
-    cache_out,      # aliased HBM output — the kernel writes kv_new here
-    kv_buf, kv_sems, w_buf, w_sem, ww_sem, ctr_ref, wpend_ref,
-    *, page_size, chunk_pages, sm_scale, n_q, n_kv, hd, n_rows, rows_per_step,
-    W,
-):
-    """Decode attention with the KV-cache update fused in; ``rows_per_step``
-    rows per grid step (amortizes grid/BlockSpec overhead).
-
-    The new token's K/V is written to its cache slot by an in-kernel page
-    read-modify-write DMA (cache aliased in/out — an XLA-level scatter next to
-    a custom call forces whole-cache copies every layer; single-row HBM slices
-    are not tile-aligned, a page is). The write-back's wait is deferred to the
-    NEXT row. Attention streams only the first seq_len-1 positions from HBM
-    and folds the new token in from VMEM, so there is no write→read hazard.
-
-    All q heads ride the sublane axis, so each KV chunk costs n_kv matmuls of
-    [group, chunk] (not n_q of [1, chunk]). The KV stream is double-buffered
-    globally: chunk slots alternate across the whole (row, chunk) sequence and
-    each chunk's compute starts the NEXT stream element — the next chunk of
-    this row, or the first chunk of the next row — hiding DMA latency across
-    row boundaries. ``ctr_ref`` (SMEM, persists) carries the slot parity."""
-    g = pl.program_id(0)
-    layer = layer_ref[0]
-    chunk = chunk_pages * page_size
-    group = n_q // n_kv
-    start_chunk, wait_chunk = _make_chunk_io(
-        cache_in, layer, page_table_ref, kv_buf, kv_sems,
-        page_size=page_size, chunk_pages=chunk_pages)
-
-    @pl.when(g == 0)
-    def _():
-        ctr_ref[0] = 0
-        wpend_ref[0] = 0
-
-        # Row 0 may be masked off for this kernel (e.g. a prefill-only step's
-        # decode pass): an unconsumed prefetch leaves its DMA semaphores
-        # signaled at kernel exit, which the TPU runtime rejects.
-        @pl.when(q_lens_ref[0] > 0)
-        def _():
-            start_chunk(0, 0, 0, pl.cdiv(seq_lens_ref[0] - 1, page_size),
-                        sel_ref[0])
-
-    for r in range(rows_per_step):
-        b = g * rows_per_step + r
-        seq_len = seq_lens_ref[b]
-        hist = seq_len - 1              # positions streamed from the cache
-        nc = pl.cdiv(hist, chunk)
-        need = pl.cdiv(hist, page_size)
-        base = ctr_ref[0]
-        sel = sel_ref[b]
-        b_next = jnp.minimum(b + 1, n_rows - 1)
-        next_valid = (b + 1 < n_rows) & (q_lens_ref[b_next] > 0)
-        next_need = pl.cdiv(seq_lens_ref[b_next] - 1, page_size)
-        next_sel = sel_ref[b_next]
-
-        @pl.when((q_lens_ref[b] > 0) & (seq_len > 0))
-        def _row(r=r, b=b, seq_len=seq_len, hist=hist, nc=nc, need=need,
-                 base=base, b_next=b_next, next_valid=next_valid,
-                 next_need=next_need):
-            # The previous row's write-back DMA reads w_buf; it must land
-            # before this row's page read overwrites the buffer.
-            @pl.when(wpend_ref[0] == 1)
-            def _():
-                _wait_page_write(cache_out, w_buf, ww_sem, layer, page_size)
-                wpend_ref[0] = 0
-            w_page = kv_slots_ref[b] // page_size
-            w_read = pltpu.make_async_copy(
-                cache_in.at[layer, pl.ds(w_page * page_size, page_size)],
-                w_buf, w_sem)
-            w_read.start()
-            # Select this row's new K/V by mask-sum (single-sublane dynamic
-            # slices are illegal).
-            all_new = kv_new_ref[...].astype(jnp.float32)   # [n_rows, lanes]
-            row_iota = jax.lax.broadcasted_iota(
-                jnp.int32, (all_new.shape[0], 1), 0)
-            kv_new = jnp.sum(jnp.where(row_iota == b, all_new, 0),
-                             axis=0, keepdims=True)         # [1, lanes] f32
-
-            # hist == 0 rows run zero chunk iterations, so the cross-row
-            # prefetch chain must be kept alive here instead.
-            @pl.when((nc == 0) & next_valid)
-            def _():
-                start_chunk(b_next, 0, base, next_need, next_sel)
-
-            q = q_ref[r * n_q:(r + 1) * n_q, :]             # [n_q, hd]
-            # Block-diagonal q [n_q, n_kv*hd]: q row i (kv head i//group)
-            # occupies lane block h*hd..(h+1)*hd. ONE matmul then computes
-            # ALL heads' scores against the lane-contiguous K half — n_kv
-            # small matmuls and n_kv-fold softmax bookkeeping collapse to one
-            # (decode is issue-bound at these shapes, not FLOP-bound).
-            KH = n_kv * hd
-            head_row = jax.lax.broadcasted_iota(jnp.int32, (n_q, KH), 0) // group
-            head_col = jax.lax.broadcasted_iota(jnp.int32, (n_q, KH), 1) // hd
-            blk_mask = head_row == head_col
-            q_blk = jnp.where(blk_mask,
-                              jnp.concatenate([q] * n_kv, axis=1), 0)
-
-            m0 = jnp.full((n_q, 1), NEG_INF, jnp.float32)
-            l0 = jnp.zeros((n_q, 1), jnp.float32)
-            a0 = jnp.zeros((n_q, KH), jnp.float32)
-
-            def body(c, carry):
-                m, l, acc = carry
-                slot = jax.lax.rem(base + c, 2)
-
-                @pl.when(c + 1 < nc)
-                def _():
-                    start_chunk(b, c + 1, jax.lax.rem(base + c + 1, 2), need,
-                                sel)
-
-                @pl.when((c + 1 >= nc) & next_valid)
-                def _():
-                    start_chunk(b_next, 0, jax.lax.rem(base + nc, 2),
-                                next_need, next_sel)
-
-                wait_chunk(slot, c * chunk_pages, need, sel)
-                kv2 = kv_buf[slot]                          # [chunk, W]
-                key_pos = c * chunk + jax.lax.broadcasted_iota(
-                    jnp.int32, (1, chunk), 1)
-                # Zero never-DMA'd rows (stale VMEM): 0 * NaN poisons p@v.
-                key_pos_col = (c * chunk + jax.lax.broadcasted_iota(
-                    jnp.int32, (chunk, 1), 0))
-                kv2 = jnp.where(key_pos_col < need * page_size, kv2, 0)
-                valid = key_pos < hist                      # [1, chunk]
-
-                if W > 2 * KH:   # fp8: un-scale via the per-token scale lanes
-                    kv2f = kv2.astype(jnp.float32)
-                    inv_k = 1.0 / jnp.maximum(kv2f[:, 2 * KH:2 * KH + 1], 1e-20)
-                    inv_v = 1.0 / jnp.maximum(kv2f[:, 2 * KH + 1:2 * KH + 2],
-                                              1e-20)
-                    k_all = kv2f[:, :KH] * inv_k             # [chunk, KH]
-                    v_all = kv2f[:, KH:2 * KH] * inv_v
-                else:
-                    k_all = kv2[:, :KH]                      # [chunk, KH]
-                    v_all = kv2[:, KH:2 * KH]
-                sc = jax.lax.dot_general(
-                    q_blk, k_all.astype(q_blk.dtype), (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32) * sm_scale
-                sc = jnp.where(valid, sc, NEG_INF)          # [n_q, chunk]
-
-                mi = jnp.maximum(m, jnp.max(sc, axis=-1, keepdims=True))
-                pr = jnp.exp(sc - mi)
-                scale = jnp.exp(m - mi)
-                li = l * scale + jnp.sum(pr, axis=-1, keepdims=True)
-                ai = acc * scale + jax.lax.dot_general(
-                    pr.astype(q.dtype), v_all.astype(q.dtype),
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)      # [n_q, KH]
-                return (mi, li, ai)
-
-            m, l, acc = jax.lax.fori_loop(0, nc, body, (m0, l0, a0))
-
-            # Fold in the new token (key position seq_len-1) from VMEM.
-            if W > 2 * KH:   # fp8: un-scale the stored form for the math
-                ikn = 1.0 / jnp.maximum(kv_new[:, 2 * KH:2 * KH + 1], 1e-20)
-                ivn = 1.0 / jnp.maximum(kv_new[:, 2 * KH + 1:2 * KH + 2], 1e-20)
-                k_new_all = kv_new[:, :KH] * ikn             # [1, KH] f32
-                v_new_all = kv_new[:, KH:2 * KH] * ivn
-            else:
-                k_new_all = kv_new[:, :KH]                   # [1, KH] f32
-                v_new_all = kv_new[:, KH:2 * KH]
-            s_new = jnp.sum(q_blk.astype(jnp.float32) * k_new_all,
-                            axis=-1, keepdims=True) * sm_scale   # [n_q, 1]
-            mi = jnp.maximum(m, s_new)
-            scale = jnp.exp(m - mi)
-            p_new = jnp.exp(s_new - mi)
-            l = l * scale + p_new
-            acc = acc * scale + p_new * v_new_all            # [n_q, KH]
-            acc = acc / jnp.maximum(l, 1e-30)
-
-            # Extract each row's own head block from the [n_q, KH] result.
-            out = jnp.zeros((n_q, hd), jnp.float32)
-            for h in range(n_kv):
-                rows_h = (jax.lax.broadcasted_iota(jnp.int32, (n_q, hd), 0)
-                          // group) == h
-                out = jnp.where(rows_h, acc[:, h * hd:(h + 1) * hd], out)
-            o_ref[r * n_q:(r + 1) * n_q, :] = out.astype(o_ref.dtype)
-            ctr_ref[0] = jax.lax.rem(base + nc, 2)
-
-            # Merge the new K/V row into the page and write it back. The wait
-            # is deferred: the next row consumes it.
-            w_read.wait()
-            w_off = kv_slots_ref[b] % page_size
-            page_tile = w_buf[...]                          # [page_size, lanes]
-            sub_iota = jax.lax.broadcasted_iota(jnp.int32, (page_size, 1), 0)
-            w_buf[...] = jnp.where(sub_iota == w_off,
-                                   kv_new.astype(w_buf.dtype), page_tile)
-            pltpu.make_async_copy(
-                w_buf,
-                cache_out.at[layer, pl.ds(w_page * page_size, page_size)],
-                ww_sem).start()
-            wpend_ref[0] = 1
-
-            @pl.when(jnp.logical_not(next_valid))
-            def _():   # last valid row: the write must land before kernel exit
-                _wait_page_write(cache_out, w_buf, ww_sem, layer, page_size)
-                wpend_ref[0] = 0
 
 
 def _decode_kernel_grouped(
@@ -931,116 +720,88 @@ def ragged_paged_attention(q, cache3, layer, batch, *, n_kv: int,
         sel = jnp.where((need > 0) & (batch.q_lens[:B] > 0) & contig & fits
                         & (pow2 > 0) & (pow2 <= chunk_pages),
                         pow2, 0).astype(jnp.int32)
-        R = 4 if B % 4 == 0 else 1      # rows per grid step
-        if R > 1:
-            # Grouped kernel: bigger per-slot KV buffers (R lane blocks wide);
-            # re-derive the chunk geometry under a 4 MiB/slot budget.
-            # ~256-token chunks: the block-diag matmuls span the whole chunk
-            # buffer (masked), so oversizing the chunk burns MXU FLOPs on
-            # padding — at short serving contexts a 512-token chunk doubled
-            # the attention matmul work for nothing. 256 still covers typical
-            # short-context histories with ONE fast-path DMA, and bounds the
-            # padding waste at long context to under one chunk.
-            chunk_pages = max(1, min(Pg, max(256 // page_size, 1)))
-            # VMEM guard (wide-W models) + 512-slot DMA-semaphore cap
-            # (kv_sems is 2*R*chunk_pages + 2R write-back pairs).
-            while (2 * R * chunk_pages * page_size * W * itemsize
-                   > 16 * 1024 * 1024) and chunk_pages > 1:
-                chunk_pages //= 2
-            chunk_pages = min(chunk_pages, 32)
-            if max_chunk_pages is not None:
-                chunk_pages = min(chunk_pages, max_chunk_pages)
-            max_chunks = cdiv(Pg, chunk_pages)
-            pad_pages = chunk_pages * max_chunks - Pg
-            pt_g = (jnp.pad(batch.page_table, ((0, 0), (0, pad_pages)))
-                    if pad_pages else batch.page_table)
-            sel = jnp.where(sel <= chunk_pages, sel, 0)
-            GB = B // R
-            br = 8 if GB % 8 == 0 else GB
-            grid_spec = pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=6,
-                grid=(GB,),
-                in_specs=[
-                    pl.BlockSpec((R * n_q, hd), lambda g, *refs: (g, 0)),  # q
-                    pl.BlockSpec((br, R * W), lambda g, *refs: (g // br, 0)),
-                    pl.BlockSpec(memory_space=pltpu.HBM),  # cache (aliased)
-                ],
-                out_specs=[
-                    pl.BlockSpec((R * n_q, hd), lambda g, *refs: (g, 0)),  # o
-                    pl.BlockSpec(memory_space=pltpu.HBM),  # cache out (alias)
-                ],
-                scratch_shapes=[
-                    pltpu.VMEM((2, chunk_pages * page_size, R * W),
-                               cache3.dtype),
-                    pltpu.SemaphoreType.DMA((2, R, chunk_pages)),
-                    pltpu.VMEM((2, R, page_size, W), cache3.dtype),  # w_buf
-                    pltpu.SemaphoreType.DMA((2, R)),   # page reads
-                    pltpu.SemaphoreType.DMA((2, R)),   # page writes (deferred)
-                    pltpu.SMEM((1,), jnp.int32),       # chunk-slot parity
-                    pltpu.SMEM((2, R), jnp.int32),     # write pending flags
-                ],
-            )
-            kernel = functools.partial(
-                _decode_kernel_grouped, page_size=page_size,
-                chunk_pages=chunk_pages, sm_scale=sm_scale, n_q=n_q,
-                n_kv=n_kv, hd=hd, n_rows=B, R=R, br=br, W=W)
-            out, cache3 = pl.pallas_call(
-                kernel, grid_spec=grid_spec,
-                compiler_params=pltpu.CompilerParams(
-                    vmem_limit_bytes=100 * 1024 * 1024),
-                out_shape=[jax.ShapeDtypeStruct((B * n_q, hd), q.dtype),
-                           jax.ShapeDtypeStruct(cache3.shape, cache3.dtype)],
-                # flat operands: 6 scalar-prefetch, q=6, kv_new=7, cache=8.
-                input_output_aliases={8: 1},
-                interpret=interpret,
-            )(layer_arr, batch.q_lens, batch.seq_lens, pt_g, kv_slots_l, sel,
-              q[:B].reshape(B * n_q, hd),
-              kv_new[:B].reshape(GB, R * W),
-              cache3)
-            out = out.reshape(B, n_q * hd)
-            if T > B:
-                out = jnp.pad(out, ((0, T - B), (0, 0)))
-            return out.reshape(T, n_q, hd), cache3
+        R = 4                       # rows per grid step (grouped kernel)
+        # B is a pow2 bucket; tiny batches (B < R) pad up to one group with
+        # q_lens == 0 rows (the kernel's masked-suffix contract) so the
+        # grouped kernel is the ONLY decode path.
+        Bp = B if B % R == 0 else R
+        # Grouped kernel: bigger per-slot KV buffers (R lane blocks wide).
+        # ~256-token chunks: the block-diag matmuls span the whole chunk
+        # buffer (masked), so oversizing the chunk burns MXU FLOPs on
+        # padding — at short serving contexts a 512-token chunk doubled
+        # the attention matmul work for nothing. 256 still covers typical
+        # short-context histories with ONE fast-path DMA, and bounds the
+        # padding waste at long context to under one chunk.
+        chunk_pages = max(1, min(Pg, max(256 // page_size, 1)))
+        # VMEM guard (wide-W models) + 512-slot DMA-semaphore cap
+        # (kv_sems is 2*R*chunk_pages + 2R write-back pairs).
+        while (2 * R * chunk_pages * page_size * W * itemsize
+               > 16 * 1024 * 1024) and chunk_pages > 1:
+            chunk_pages //= 2
+        chunk_pages = min(chunk_pages, 32)
+        if max_chunk_pages is not None:
+            chunk_pages = min(chunk_pages, max_chunk_pages)
+        max_chunks = cdiv(Pg, chunk_pages)
+        pad_pages = chunk_pages * max_chunks - Pg
+        pt_g = (jnp.pad(batch.page_table, ((0, 0), (0, pad_pages)))
+                if pad_pages else batch.page_table)
+        sel = jnp.where(sel <= chunk_pages, sel, 0)
+        q_lens_l = batch.q_lens
+        seq_lens_l = batch.seq_lens
+        q_rows = q[:B].reshape(B * n_q, hd)
+        kv_new_rows = kv_new[:B]
+        if Bp != B:
+            rp = Bp - B
+            q_lens_l = jnp.pad(q_lens_l, (0, rp))
+            seq_lens_l = jnp.pad(seq_lens_l, (0, rp))
+            kv_slots_l = jnp.pad(kv_slots_l, (0, rp))
+            sel = jnp.pad(sel, (0, rp))
+            pt_g = jnp.pad(pt_g, ((0, rp), (0, 0)))
+            q_rows = jnp.pad(q_rows, ((0, rp * n_q), (0, 0)))
+            kv_new_rows = jnp.pad(kv_new_rows, ((0, rp), (0, 0)))
+        GB = Bp // R
+        br = 8 if GB % 8 == 0 else GB
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=6,
-            grid=(B,),
+            grid=(GB,),
             in_specs=[
-                pl.BlockSpec((n_q, hd), lambda g, *refs: (g, 0)),          # q
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # kv_new (whole array)
-                pl.BlockSpec(memory_space=pltpu.HBM),   # cache (aliased)
+                pl.BlockSpec((R * n_q, hd), lambda g, *refs: (g, 0)),  # q
+                pl.BlockSpec((br, R * W), lambda g, *refs: (g // br, 0)),
+                pl.BlockSpec(memory_space=pltpu.HBM),  # cache (aliased)
             ],
             out_specs=[
-                pl.BlockSpec((n_q, hd), lambda g, *refs: (g, 0)),           # o
-                pl.BlockSpec(memory_space=pltpu.HBM),   # cache out (alias)
+                pl.BlockSpec((R * n_q, hd), lambda g, *refs: (g, 0)),  # o
+                pl.BlockSpec(memory_space=pltpu.HBM),  # cache out (alias)
             ],
             scratch_shapes=[
-                pltpu.VMEM((2, chunk_pages * page_size, W), cache3.dtype),
-                pltpu.SemaphoreType.DMA((2, chunk_pages)),
-                pltpu.VMEM((page_size, W), cache3.dtype),              # w_buf
-                pltpu.SemaphoreType.DMA,                 # page read
-                pltpu.SemaphoreType.DMA,                 # page write (deferred)
-                pltpu.SMEM((1,), jnp.int32),             # chunk-slot parity
-                pltpu.SMEM((1,), jnp.int32),             # write pending flag
+                pltpu.VMEM((2, chunk_pages * page_size, R * W),
+                           cache3.dtype),
+                pltpu.SemaphoreType.DMA((2, R, chunk_pages)),
+                pltpu.VMEM((2, R, page_size, W), cache3.dtype),  # w_buf
+                pltpu.SemaphoreType.DMA((2, R)),   # page reads
+                pltpu.SemaphoreType.DMA((2, R)),   # page writes (deferred)
+                pltpu.SMEM((1,), jnp.int32),       # chunk-slot parity
+                pltpu.SMEM((2, R), jnp.int32),     # write pending flags
             ],
         )
         kernel = functools.partial(
-            _decode_kernel, page_size=page_size, chunk_pages=chunk_pages,
-            sm_scale=sm_scale, n_q=n_q, n_kv=n_kv, hd=hd, n_rows=B,
-            rows_per_step=1, W=W)
+            _decode_kernel_grouped, page_size=page_size,
+            chunk_pages=chunk_pages, sm_scale=sm_scale, n_q=n_q,
+            n_kv=n_kv, hd=hd, n_rows=Bp, R=R, br=br, W=W)
         out, cache3 = pl.pallas_call(
             kernel, grid_spec=grid_spec,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
-            out_shape=[jax.ShapeDtypeStruct((B * n_q, hd), q.dtype),
+            out_shape=[jax.ShapeDtypeStruct((Bp * n_q, hd), q.dtype),
                        jax.ShapeDtypeStruct(cache3.shape, cache3.dtype)],
-            # flat operand order: 6 scalar-prefetch, q=6, kv_new=7, cache=8.
+            # flat operands: 6 scalar-prefetch, q=6, kv_new=7, cache=8.
             input_output_aliases={8: 1},
             interpret=interpret,
-        )(layer_arr, batch.q_lens, batch.seq_lens, pt, kv_slots_l, sel,
-          q[:B].reshape(B * n_q, hd),
-          kv_new[:B],
+        )(layer_arr, q_lens_l, seq_lens_l, pt_g, kv_slots_l, sel,
+          q_rows,
+          kv_new_rows.reshape(GB, R * W),
           cache3)
-        out = out.reshape(B, n_q * hd)
+        out = out[:B * n_q].reshape(B, n_q * hd)
         if T > B:
             out = jnp.pad(out, ((0, T - B), (0, 0)))
         return out.reshape(T, n_q, hd), cache3

@@ -102,19 +102,29 @@ class Engine:
         persistent compile cache). Per-bucket compiles cost tens of seconds on
         TPU; paying them at startup instead of on the first unlucky request
         keeps production TTFT sane."""
-        from swiftllm_tpu.utils import next_power_of_2
-        from swiftllm_tpu.worker.batch_builder import BucketKey
+        from swiftllm_tpu.utils import cdiv, next_power_of_2, tile_q_for
+        from swiftllm_tpu.worker.batch_builder import BucketKey, _pick_bucket
         cfg = self.engine_config
         if bucket_keys is None:
             rows = next_power_of_2(cfg.max_batch_size)
             q_chunk = next_power_of_2(min(cfg.prefill_chunk_size,
                                           cfg.max_tokens_in_batch))
+            align = tile_q_for(q_chunk)
+            # The SARATHI steady state is a MIXED step: a tile-padded decode
+            # block plus prefill chunks. Warm that bucket too, or the first
+            # mixed step of real traffic eats a tens-of-seconds compile
+            # (measured as multi-second TTFT p50 at low request rates).
+            mixed_tokens = _pick_bucket(
+                cfg.token_buckets, cdiv(rows, align) * align + align)
             bucket_keys = [
                 # decode at full batch
                 BucketKey(tokens=rows, rows=rows, pages=cfg.page_buckets[0],
                           q_len=1),
                 # one full prefill chunk
                 BucketKey(tokens=next_power_of_2(q_chunk), rows=rows,
+                          pages=cfg.page_buckets[0], q_len=q_chunk),
+                # decode block + one prefill chunk (mixed)
+                BucketKey(tokens=mixed_tokens, rows=rows,
                           pages=cfg.page_buckets[0], q_len=q_chunk),
             ]
         for key in bucket_keys:

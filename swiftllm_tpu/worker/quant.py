@@ -33,15 +33,20 @@ def quantize_int8(w: np.ndarray) -> dict:
 
 def quantize_int4(w: np.ndarray) -> dict:
     """w: [..., out, in] float → {"q4": int8[..., out, in//2] (two nibbles/byte),
-    "s": f32[..., out]}. in must be even. Values in [-7, 7]; nibble pair
-    (even_col, odd_col) packed little-end (even in the low nibble)."""
+    "s": f32[..., out]}. in must be even. Values in [-7, 7].
+
+    SPLIT-HALF packing: byte j holds column j (low nibble) and column
+    in//2 + j (high nibble). Unpacking is then two shifts and ONE lane
+    concat — no interleave, which XLA lowers as an expensive stack+reshape
+    relayout of the whole weight."""
     w32 = np.asarray(w, np.float32)
     assert w32.shape[-1] % 2 == 0, "int4 packing needs an even contraction dim"
     s = np.max(np.abs(w32), axis=-1) / 7.0
     s = np.maximum(s, 1e-12)
     q = np.clip(np.rint(w32 / s[..., None]), -7, 7).astype(np.int8)
-    lo = q[..., 0::2] & 0xF
-    hi = q[..., 1::2] & 0xF
+    half = q.shape[-1] // 2
+    lo = q[..., :half] & 0xF
+    hi = q[..., half:] & 0xF
     packed = (lo | (hi << 4)).astype(np.int8)
     return {"q4": packed, "s": s.astype(np.float32)}
 
@@ -57,13 +62,12 @@ def quantize_weight(w: np.ndarray, quant: str):
 
 
 def _unpack_int4(packed: jax.Array) -> jax.Array:
-    """int8[..., out, in//2] packed nibbles → int8[..., out, in], sign-extended."""
+    """int8[..., out, in//2] split-half nibbles → int8[..., out, in],
+    sign-extended (see quantize_int4 for the layout)."""
     lo = jnp.left_shift(packed, 4)          # low nibble → high bits
     lo = jnp.right_shift(lo, 4)             # arithmetic shift sign-extends
     hi = jnp.right_shift(packed, 4)
-    # interleave: cols 0,2,4,.. from lo; 1,3,5,.. from hi
-    stacked = jnp.stack([lo, hi], axis=-1)  # [..., out, in//2, 2]
-    return stacked.reshape(packed.shape[:-1] + (2 * packed.shape[-1],))
+    return jnp.concatenate([lo, hi], axis=-1)
 
 
 def is_quantized(w) -> bool:
@@ -86,8 +90,17 @@ def proj(x: jax.Array, w) -> jax.Array:
     if "q" in w:
         y = jax.lax.dot_general(x, w["q"].astype(x.dtype), contract)
     else:
-        y = jax.lax.dot_general(x, _unpack_int4(w["q4"]).astype(x.dtype),
-                                contract)
+        # Split-half int4: TWO half-contraction matmuls, one per nibble.
+        # The shifts are elementwise on the packed bytes, so XLA can fuse
+        # them into the dot's operand load the same way it fuses the
+        # int8→bf16 convert — no unpacked weight is ever materialized
+        # (an unpack+concat before the dot measured 10x slower at 8B dims).
+        q4 = w["q4"]
+        half = x.shape[1] // 2
+        lo = jnp.right_shift(jnp.left_shift(q4, 4), 4)   # sign-extended
+        hi = jnp.right_shift(q4, 4)
+        y = (jax.lax.dot_general(x[:, :half], lo.astype(x.dtype), contract)
+             + jax.lax.dot_general(x[:, half:], hi.astype(x.dtype), contract))
     return (y.astype(jnp.float32) * w["s"]).astype(x.dtype)
 
 

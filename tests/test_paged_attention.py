@@ -191,7 +191,7 @@ def test_fp8_cache_decode():
             continue
         sl = slice(int(batch.q_starts[b]), int(batch.q_starts[b] + batch.q_lens[b]))
         np.testing.assert_allclose(np.asarray(got[sl]), np.asarray(ref[sl]),
-                                   atol=5e-4, rtol=1e-3)
+                                   atol=max(ATOL, 5e-4), rtol=1e-2)
 
 
 def test_decode_contiguous_pages_fast_path():
