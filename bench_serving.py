@@ -78,6 +78,10 @@ async def main_async(args):
 
     engine = Engine(ec, mc)
     await engine.initialize(tokenizer_backend="inline")
+    # Compile the full serving working set up front (pages are bucket-pinned,
+    # so this is exactly three programs); measured TTFT then reflects
+    # steady-state serving, not XLA compilation.
+    await engine.warmup()
     loops = asyncio.create_task(engine.start_all_event_loops())
 
     rng = np.random.default_rng(args.seed)

@@ -98,38 +98,97 @@ class Engine:
             await self.warmup()
 
     async def warmup(self, bucket_keys=None):
-        """Pre-compile the serving working set of step programs (and seed the
-        persistent compile cache). Per-bucket compiles cost tens of seconds on
-        TPU; paying them at startup instead of on the first unlucky request
-        keeps production TTFT sane."""
-        from swiftllm_tpu.utils import cdiv, next_power_of_2, tile_q_for
-        from swiftllm_tpu.worker.batch_builder import BucketKey, _pick_bucket
+        """Pre-compile the serving working set of step programs. The pages
+        bucket is PINNED (batch_builder.select_buckets), so three programs —
+        decode, prefill-only, and the SARATHI mixed step — are the ENTIRE
+        steady-state working set. Compiles cost tens of seconds each on TPU;
+        paying them at startup instead of on the first unlucky request keeps
+        production TTFT sane (an un-warmed mixed bucket measured as
+        multi-second TTFT p50 at low request rates).
+
+        With no ``bucket_keys``, warmup drives REAL throwaway steps through
+        the normal dispatch path — an AOT ``lower().compile()`` does NOT seed
+        jax.jit's call-path cache, so only real calls truly pre-compile."""
         cfg = self.engine_config
-        if bucket_keys is None:
-            rows = next_power_of_2(cfg.max_batch_size)
-            q_chunk = next_power_of_2(min(cfg.prefill_chunk_size,
-                                          cfg.max_tokens_in_batch))
-            align = tile_q_for(q_chunk)
-            # The SARATHI steady state is a MIXED step: a tile-padded decode
-            # block plus prefill chunks. Warm that bucket too, or the first
-            # mixed step of real traffic eats a tens-of-seconds compile
-            # (measured as multi-second TTFT p50 at low request rates).
-            mixed_tokens = _pick_bucket(
-                cfg.token_buckets, cdiv(rows, align) * align + align)
-            bucket_keys = [
-                # decode at full batch
-                BucketKey(tokens=rows, rows=rows, pages=cfg.page_buckets[0],
-                          q_len=1),
-                # one full prefill chunk
-                BucketKey(tokens=next_power_of_2(q_chunk), rows=rows,
-                          pages=cfg.page_buckets[0], q_len=q_chunk),
-                # decode block + one prefill chunk (mixed)
-                BucketKey(tokens=mixed_tokens, rows=rows,
-                          pages=cfg.page_buckets[0], q_len=q_chunk),
-            ]
-        for key in bucket_keys:
-            await self._run_on_model_async(
-                self.model._lower, key, self.model.num_blocks_per_shard)
+        if bucket_keys is not None:   # explicit keys: AOT-compile only
+            for key in bucket_keys:
+                await self._run_on_model_async(
+                    self.model._lower, key, self.model.num_blocks_per_shard)
+            return
+
+        from swiftllm_tpu.server.structs import RawRequest
+        chunk = min(cfg.prefill_chunk_size, cfg.max_tokens_in_batch,
+                    cfg.max_seq_len - 8)
+
+        # How many prefill chunks fit one step: each step's token bucket is a
+        # pow2; warming 1, 2, 4, ... chunk-rows covers every bucket a
+        # multi-admission prefill (or mixed) step can reach.
+        max_chunk_rows = max(1, min(cfg.max_tokens_in_batch // max(chunk, 1),
+                                    cfg.max_batch_size - 1))
+        chunk_rows = []
+        n = 1
+        while n <= max_chunk_rows:
+            chunk_rows.append(n)
+            n *= 2
+
+        def run_steps():
+            dp = self.model.dp
+            for g in range(dp):
+                mgr_ids = self.scheduler.id_managers[g]
+                n_ids = chunk_rows[-1] + 1
+                ids = [mgr_ids.get_id() for _ in range(n_ids)]
+                reqs = []
+                for i in ids:
+                    r = Request(RawRequest("", 4))
+                    r.set_prompt_token_ids([1] * chunk)
+                    r.seq_id, r.dp_group = i, g
+                    reqs.append(r)
+                ra, rest = reqs[0], reqs[1:]
+                try:
+                    groups = [[] for _ in range(dp)]
+                    for n_rows in chunk_rows:                  # prefill-only
+                        groups[g] = [ScheduledSeq(r, chunk)
+                                     for r in reqs[:n_rows]]
+                        self.model.forward(groups[g], groups=groups)
+                        for r in reqs[1:n_rows]:   # keep ra's pages
+                            self.model.free_seqs_resources([r])
+                    ra.num_cached_tokens = chunk
+                    ra.output_token_ids.append(0)
+                    groups[g] = [ScheduledSeq(ra, 1)]          # decode-only
+                    self.model.forward(groups[g], groups=groups)
+                    ra.num_cached_tokens += 1
+                    ra.output_token_ids.append(0)
+                    # Short prompts produce SMALLER token buckets (a lone
+                    # 160-token chunk pads to the 256 bucket, not 512): warm
+                    # every pow2 bucket from one tile up to the full chunk.
+                    from swiftllm_tpu.utils import next_power_of_2, tile_q_for
+                    align = tile_q_for(next_power_of_2(chunk))
+                    size = align
+                    while size < chunk:
+                        groups[g] = [ScheduledSeq(rest[0], size)]
+                        self.model.forward(groups[g], groups=groups)
+                        self.model.free_seqs_resources([rest[0]])
+                        size *= 2
+
+                    # Mixed steps carry a tile-padded decode block on top of
+                    # the chunks; mirror the scheduler's budget so warmup
+                    # never builds a step the policy couldn't.
+                    mixed_max = max(1, (cfg.max_tokens_in_batch - align)
+                                    // max(chunk, 1))
+                    for n_rows in [n for n in chunk_rows if n <= mixed_max]:
+                        groups[g] = ([ScheduledSeq(ra, 1)]     # SARATHI mixed
+                                     + [ScheduledSeq(r, chunk)
+                                        for r in rest[:n_rows]])
+                        self.model.forward(groups[g], groups=groups)
+                        ra.num_cached_tokens += 1
+                        ra.output_token_ids.append(0)
+                        for r in rest[:n_rows]:
+                            self.model.free_seqs_resources([r])
+                finally:
+                    self.model.free_seqs_resources(reqs)
+                    mgr_ids.free_ids(ids)
+
+        await self._run_on_model_async(run_steps)
 
     # --- request entry points (reference engine.py:65-87) ----------------------
     def _fits(self, req: Request) -> bool:

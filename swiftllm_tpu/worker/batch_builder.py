@@ -70,6 +70,18 @@ def select_buckets(groups: list[list[ScheduledSeq]], cfg: EngineConfig) -> Bucke
     # tens-of-seconds XLA compile — and adaptive row counts vary with async
     # arrival timing, defeating the compile cache run-over-run.
     rows_bucket = next_power_of_2(cfg.max_batch_size)
+    # The PAGES bucket is pinned like rows: every distinct bucket tuple is a
+    # separate tens-of-seconds XLA compile, and page counts grow with the
+    # longest live sequence — letting the bucket float meant every new
+    # page-bucket crossing stalled serving for a compile (measured as
+    # multi-second TTFT p50 at low request rates). Pin to the per-sequence
+    # maximum (capped by the kernel's SMEM page-table budget); only contexts
+    # beyond the SMEM cap fall back to a floating bucket.
+    from swiftllm_tpu.ops.paged_attention import smem_pages_cap
+    pages_pinned = min(_pick_bucket(cfg.page_buckets, cfg.max_blocks_per_seq),
+                       smem_pages_cap(rows_bucket))
+    pages = (pages_pinned if max_pages <= pages_pinned
+             else _pick_bucket(cfg.page_buckets, max_pages, hard=True))
     # hard=True: tile padding must never silently compile an unplanned larger
     # program (the scheduler reserves per-chunk alignment in its token budget;
     # direct forward() callers get a clear error instead of a surprise bucket).
@@ -77,7 +89,7 @@ def select_buckets(groups: list[list[ScheduledSeq]], cfg: EngineConfig) -> Bucke
         tokens=_pick_bucket(cfg.token_buckets, max(max_tokens, rows_bucket),
                             hard=True),
         rows=rows_bucket,
-        pages=_pick_bucket(cfg.page_buckets, max_pages, hard=True),
+        pages=pages,
         q_len=q_len,
         sampling=int(any(s.request.temperature > 0
                          for g in groups for s in g)),
