@@ -1,14 +1,18 @@
 """Benchmarks, printed as JSON lines (one object per line).
 
 Default (no args): the RECORDED SUITE — every headline number the framework
-claims, measured fresh, one subprocess per config so HBM is returned between
-models:
+claims, measured fresh. All configs run in ONE process (the tunneled chip
+stalls ~3.5 min on each process's first device→host transfer, so subprocess
+isolation would pay that stall per config; in-process it is paid once,
+overlapped with the first config's weight upload by a warmup thread):
 
-  1. decode  8B-dims INT8  b16 c128   (BASELINE.md north-star config)
+  1. decode  8B-dims INT8  b16 c128    (BASELINE.md north-star config)
   2. decode  1B-dims bf16  b64 c128
-  3. decode  1B-dims bf16  b8  c8192  (long context)
+  3. decode  1B-dims bf16  b8  c8192   (long context)
   4. prefill 1B-dims bf16  b8  c2048
   5. decode  8B-dims INT4  b16 c128
+  6. decode  1B-dims bf16  b1  c131072 (reference's 131Ki-token chart point,
+                                        docs/assets/offline-llama-3-7b-a100.png)
 
 ``vs_baseline`` is the fraction of the chip's roofline ("speed of light")
 achieved. For decode that is HBM bandwidth: a step at batch B must at minimum
@@ -26,10 +30,12 @@ On-chip kernel selftest (Mosaic-compiled parity vs the jnp reference):
 """
 
 import argparse
+import gc
 import json
 import os
 import subprocess
 import sys
+import threading
 import time
 
 import numpy as np
@@ -46,34 +52,109 @@ HBM_BW = {"v5e": 819e9, "v5 lite": 819e9, "v5litepod": 819e9,
           "v5p": 2765e9, "v4": 1228e9, "v6": 1640e9, "cpu": 100e9}
 
 SUITE = [
-    ["--model", "8b", "--batch", "16", "--context", "128", "--quant", "int8"],
-    ["--model", "1b", "--batch", "64", "--context", "128"],
-    ["--model", "1b", "--batch", "8", "--context", "8192", "--steps", "32"],
+    ["--model", "8b", "--batch", "16", "--context", "128", "--quant", "int8",
+     "--skip-prefill"],
+    ["--model", "1b", "--batch", "64", "--context", "128", "--skip-prefill"],
+    ["--model", "1b", "--batch", "8", "--context", "8192", "--steps", "32",
+     "--skip-prefill"],
     ["--model", "1b", "--batch", "8", "--context", "2048", "--mode", "prefill"],
-    ["--model", "8b", "--batch", "16", "--context", "128", "--quant", "int4"],
+    ["--model", "8b", "--batch", "16", "--context", "128", "--quant", "int4",
+     "--skip-prefill"],
+    ["--model", "1b", "--batch", "1", "--context", "131072", "--steps", "16",
+     "--skip-prefill"],
 ]
 
 
-def run_suite():
-    for extra in SUITE:
-        cmd = [sys.executable, os.path.abspath(__file__)] + extra
+def _log(msg: str):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+def _warm_reverse_channel():
+    """The tunneled chip stalls minutes on a process's FIRST device→host
+    transfer (reverse-channel dial); later gets are instant. Trigger the dial
+    in a daemon thread at t=0 so the stall overlaps uploads and compiles."""
+    def poke():
         try:
-            out = subprocess.run(cmd, capture_output=True, text=True,
-                                 timeout=1800, cwd=os.path.dirname(
-                                     os.path.abspath(__file__)))
-            lines = [ln for ln in out.stdout.splitlines()
-                     if ln.startswith("{")]
-            if lines:
-                print(lines[-1], flush=True)
-            else:
-                print(json.dumps({"metric": "suite_" + "_".join(extra),
-                                  "value": 0, "unit": "FAILED",
-                                  "vs_baseline": 0.0,
-                                  "stderr": out.stderr[-400:]}), flush=True)
-        except subprocess.TimeoutExpired:
-            print(json.dumps({"metric": "suite_" + "_".join(extra),
-                              "value": 0, "unit": "TIMEOUT",
-                              "vs_baseline": 0.0}), flush=True)
+            import jax
+            t0 = time.perf_counter()
+            a = jax.device_put(np.zeros((8,), np.float32))
+            np.asarray(jax.device_get(a))
+            _log(f"reverse channel warm in {time.perf_counter() - t0:.0f}s")
+        except Exception as e:   # pragma: no cover
+            _log(f"reverse-channel warmup failed: {e}")
+    th = threading.Thread(target=poke, daemon=True)
+    th.start()
+    return th
+
+
+def build_parser():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default=None, choices=sorted(MODEL_DIMS))
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--context", type=int, default=128, help="prefill length per seq")
+    p.add_argument("--steps", type=int, default=64, help="timed decode steps")
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--block-size", type=int, default=32,
+                   help="KV page size in tokens (larger = fewer DMAs per row)")
+    p.add_argument("--mode", default="decode", choices=("decode", "prefill"))
+    p.add_argument("--quant", default="none", choices=("none", "int8", "int4"))
+    p.add_argument("--kv-quant", default="none", choices=("none", "fp8"))
+    p.add_argument("--use-pallas", default=None, type=lambda s: s.lower() in ("1", "true"))
+    p.add_argument("--max-tokens", type=int, default=None,
+                   help="per-step flat token budget (default max(2048, batch))")
+    p.add_argument("--skip-prefill", action="store_true",
+                   help="seed KV pages directly (cache zeros) instead of "
+                        "running prefill — decode timing is identical, setup "
+                        "is O(1) instead of O(context)")
+    p.add_argument("--profile-blocks", action="store_true",
+                   help="size the cache via profile_num_blocks() (the real-"
+                        "serving default path) instead of an explicit count")
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--selftest", action="store_true")
+    p.add_argument("--isolate", action="store_true",
+                   help="run the suite one subprocess per config (debugging)")
+    return p
+
+
+def run_suite(isolate: bool = False):
+    budget = float(os.environ.get("SWIFTLLM_BENCH_BUDGET", 1800))
+    t_start = time.monotonic()
+    if not isolate:
+        _warm_reverse_channel()
+    for extra in SUITE:
+        left = budget - (time.monotonic() - t_start)
+        tag = "suite_" + "_".join(extra)
+        if left < 45:
+            print(json.dumps({"metric": tag, "value": 0,
+                              "unit": "SKIPPED_BUDGET", "vs_baseline": 0.0}),
+                  flush=True)
+            continue
+        if isolate:
+            cmd = [sys.executable, os.path.abspath(__file__)] + extra
+            try:
+                out = subprocess.run(cmd, capture_output=True, text=True,
+                                     timeout=left, cwd=os.path.dirname(
+                                         os.path.abspath(__file__)))
+                lines = [ln for ln in out.stdout.splitlines()
+                         if ln.startswith("{")]
+                if lines:
+                    print(lines[-1], flush=True)
+                else:
+                    print(json.dumps({"metric": tag, "value": 0,
+                                      "unit": "FAILED", "vs_baseline": 0.0,
+                                      "stderr": out.stderr[-400:]}), flush=True)
+            except subprocess.TimeoutExpired:
+                print(json.dumps({"metric": tag, "value": 0, "unit": "TIMEOUT",
+                                  "vs_baseline": 0.0}), flush=True)
+            continue
+        args = build_parser().parse_args(extra)
+        try:
+            run_one(args)
+        except Exception as e:
+            print(json.dumps({"metric": tag, "value": 0, "unit": "FAILED",
+                              "vs_baseline": 0.0, "error": repr(e)[:400]}),
+                  flush=True)
+        gc.collect()
 
 
 def run_selftest():
@@ -100,32 +181,7 @@ def run_selftest():
     }))
 
 
-def main():
-    p = argparse.ArgumentParser()
-    p.add_argument("--model", default=None, choices=sorted(MODEL_DIMS))
-    p.add_argument("--batch", type=int, default=64)
-    p.add_argument("--context", type=int, default=128, help="prefill length per seq")
-    p.add_argument("--steps", type=int, default=64, help="timed decode steps")
-    p.add_argument("--dtype", default="bfloat16")
-    p.add_argument("--block-size", type=int, default=32,
-                   help="KV page size in tokens (larger = fewer DMAs per row)")
-    p.add_argument("--mode", default="decode", choices=("decode", "prefill"))
-    p.add_argument("--quant", default="none", choices=("none", "int8", "int4"))
-    p.add_argument("--kv-quant", default="none", choices=("none", "fp8"))
-    p.add_argument("--use-pallas", default=None, type=lambda s: s.lower() in ("1", "true"))
-    p.add_argument("--max-tokens", type=int, default=None,
-                   help="per-step flat token budget (default max(2048, batch))")
-    p.add_argument("--cpu", action="store_true")
-    p.add_argument("--selftest", action="store_true")
-    args = p.parse_args()
-
-    if args.selftest:
-        run_selftest()
-        return
-    if args.model is None:
-        run_suite()          # bare `python bench.py` records the whole suite
-        return
-
+def run_one(args):
     import jax
 
     from swiftllm_tpu.config import EngineConfig, LlamaModelConfig
@@ -150,7 +206,8 @@ def main():
     ec = EngineConfig(
         model_path="", use_dummy=True, dtype=args.dtype, block_size=args.block_size,
         quant=args.quant, kv_quant=args.kv_quant,
-        num_hbm_blocks=args.batch * pages_per_seq,
+        num_hbm_blocks=(None if args.profile_blocks
+                        else args.batch * pages_per_seq),
         num_cpu_blocks=0,
         max_blocks_per_seq=pages_per_seq,
         max_batch_size=args.batch,
@@ -159,10 +216,21 @@ def main():
         max_seqs_in_block_table=max(args.batch, 16),
         use_pallas=use_pallas)
 
+    tprev = [time.perf_counter()]
+
+    def t(label):
+        now = time.perf_counter()
+        _log(f"{args.model}/{args.mode}: {label} {now - tprev[0]:.1f}s")
+        tprev[0] = now
+
     from swiftllm_tpu.worker.model import LlamaModel
     model = LlamaModel(ec, mc)
     model.load_weights()
+    t("load_weights")
     model.init_kvcache_and_swap()
+    if args.profile_blocks:
+        _log(f"profiled num_hbm_blocks = {model.num_hbm_blocks}")
+    t("init_kvcache")
 
     reqs = []
     rng = np.random.default_rng(0)
@@ -198,12 +266,23 @@ def main():
             last = apply(*model.forward_async(batch))
         return last
 
+    def seed_context():
+        """Decode-only benches: allocate the context's KV pages directly (the
+        zero-initialized cache is valid attention input) instead of running a
+        full prefill — O(1) setup, identical decode timing."""
+        for r in reqs:
+            model.hbm_block_mgrs[0].allocate_fresh_for_seq(
+                r.seq_id, len(r.prompt_token_ids))
+            r.num_cached_tokens = len(r.prompt_token_ids)
+            r.output_token_ids.append(0)   # decode stage; feedback slot is 0
+
     quant_tag = "" if args.quant == "none" else f"_{args.quant}"
     kv_tag = "" if args.kv_quant == "none" else f"_kv{args.kv_quant}"
 
     if args.mode == "prefill":
         # warmup (compile) on one cohort, then time a fresh identical cohort.
         jax.block_until_ready(run_prefill())
+        t("prefill warmup/compile")
         for r in reqs:
             model.free_seqs_resources([r])
             r.num_cached_tokens = 0
@@ -211,6 +290,7 @@ def main():
         t0 = time.perf_counter()
         jax.block_until_ready(run_prefill())
         dt = time.perf_counter() - t0
+        t("prefill timed")
         tok_per_s = args.batch * args.context / dt
         # Prefill roofline: compute-bound. FLOPs/token ≈ 2 * params.
         n_params = (V * D * 2 + L * D * (nq * hd + 2 * nkv * hd + hd * nq + 3 * F))
@@ -222,14 +302,19 @@ def main():
             "value": round(tok_per_s, 2),
             "unit": "tokens/s/chip",
             "vs_baseline": round(tok_per_s / sol, 4),
-        }))
+        }), flush=True)
         return
 
-    run_prefill()
+    if args.skip_prefill:
+        seed_context()
+    else:
+        run_prefill()
+    t("prefill/seed")
 
     # warmup decode (compile)
     jax.block_until_ready(apply(*model.forward_async(
         [ScheduledSeq(r, 1) for r in reqs])))
+    t("decode compile")
 
     t0 = time.perf_counter()
     last = None
@@ -237,6 +322,7 @@ def main():
         last = apply(*model.forward_async([ScheduledSeq(r, 1) for r in reqs]))
     jax.block_until_ready(last)
     dt = time.perf_counter() - t0
+    t("decode timed")
     tok_per_s = args.batch * args.steps / dt
 
     # speed-of-light roofline
@@ -254,7 +340,18 @@ def main():
         "value": round(tok_per_s, 2),
         "unit": "tokens/s/chip",
         "vs_baseline": round(tok_per_s / sol_tok_per_s, 4),
-    }))
+    }), flush=True)
+
+
+def main():
+    args = build_parser().parse_args()
+    if args.selftest:
+        run_selftest()
+        return
+    if args.model is None:
+        run_suite(isolate=args.isolate)   # bare `python bench.py` records the suite
+        return
+    run_one(args)
 
 
 if __name__ == "__main__":

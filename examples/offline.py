@@ -27,6 +27,7 @@ def main():
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
+        engine_config.use_pallas = False   # Mosaic kernels need a real TPU
 
     from swiftllm_tpu.worker.model import LlamaModel
 
@@ -36,6 +37,22 @@ def main():
             ffn_inter_dim=512, vocab_size=1000, max_position_embeddings=2048,
             rms_norm_eps=1e-5)
         tokenizer = None
+        # Shrink serving knobs the user left at their production defaults to
+        # match the toy model — the default 128-row/2048-token buckets compile
+        # for minutes on a 1-core CPU backend.
+        defaults = {f: parser.get_default(f.replace("-", "_"))
+                    for f in ("max_batch_size", "max_tokens_in_batch",
+                              "max_blocks_per_seq", "max_seqs_in_block_table",
+                              "prefill_chunk_size")}
+        small = dict(max_batch_size=8, max_tokens_in_batch=256,
+                     max_blocks_per_seq=64, max_seqs_in_block_table=16,
+                     prefill_chunk_size=64)
+        for name, small_val in small.items():
+            if getattr(engine_config, name) == defaults[name]:
+                setattr(engine_config, name, small_val)
+        engine_config.token_buckets = ()
+        engine_config.page_buckets = ()
+        engine_config.__post_init__()   # re-derive the bucket ladders
     else:
         model_config = LlamaModelConfig.load_from_model_path(engine_config.model_path)
         from transformers import AutoTokenizer

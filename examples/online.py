@@ -77,6 +77,7 @@ def main():
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
+        args.use_pallas = False   # Mosaic kernels need a real TPU
     asyncio.run(main_async(args))
 
 

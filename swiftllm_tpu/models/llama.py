@@ -192,7 +192,11 @@ def fp8_scales(x_max: jax.Array) -> jax.Array:
     round 1's single global kv_scale knob (an accuracy hazard on real
     checkpoints with K/V outliers — VERDICT r1)."""
     e = jnp.floor(jnp.log2(224.0 / jnp.maximum(x_max, 1e-20)))
-    return jnp.exp2(jnp.clip(e, -6.0, 8.0))
+    # Low clip covers e4m3's exact subnormal powers of two (down to 2^-9), so
+    # outlier tokens up to |x| ≈ 224*2^9 still get a representable scale; the
+    # writer additionally clamps scaled values to ±448 (e4m3fn has no inf —
+    # an overflowing cast would produce NaN and corrupt that token).
+    return jnp.exp2(jnp.clip(e, -9.0, 8.0))
 
 
 def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
@@ -408,7 +412,8 @@ def forward_shard(
             scale_lanes = jnp.where(lane == 0, ks,
                                     jnp.where(lane == 1, vs, 0.0))  # [T, 128]
             kv_new = jnp.concatenate(
-                [kf.astype(jnp.float32) * ks, vf.astype(jnp.float32) * vs,
+                [jnp.clip(kf.astype(jnp.float32) * ks, -448.0, 448.0),
+                 jnp.clip(vf.astype(jnp.float32) * vs, -448.0, 448.0),
                  scale_lanes], axis=1)
         else:
             kv_new = jnp.concatenate([kf, vf], axis=1)

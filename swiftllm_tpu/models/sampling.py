@@ -19,10 +19,21 @@ All rows share one code path; ``temperature <= 0`` selects the greedy result.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 MAX_CAND = 256
+
+# The candidate search uses jax.lax.approx_max_k (recall_target=0.99): a true
+# top candidate can occasionally be missed, so sampled outputs are an
+# APPROXIMATION of the exact temperature/top-k/top-p distribution (greedy rows
+# are always exact). The drift is deterministic for a fixed compiled program
+# but may differ from exact-top-k builds. Set SWIFTLLM_EXACT_TOPK=1 to compile
+# the exact lax.top_k path instead (full-vocab sort, ~1.2 ms/step at 32k vocab
+# on v5e — used by parity tests).
+EXACT_TOPK = os.environ.get("SWIFTLLM_EXACT_TOPK", "0") == "1"
 
 
 def exact_greedy(logits: jax.Array, v_local: int, tp_axis: str,
@@ -60,9 +71,12 @@ def sample_tokens(
     # avoids the full-vocab sort lax.top_k lowers to. aggregate_to_topk
     # exact-sorts the found candidates, so only recall of the deep tail is
     # approximate — mass the sampler drops by design anyway.
-    vals, idx = jax.lax.approx_max_k(logits, k_cand,
-                                     recall_target=0.99,
-                                     aggregate_to_topk=True)  # [B, k], local ids
+    if EXACT_TOPK:
+        vals, idx = jax.lax.top_k(logits, k_cand)             # exact (full sort)
+    else:
+        vals, idx = jax.lax.approx_max_k(logits, k_cand,
+                                         recall_target=0.99,
+                                         aggregate_to_topk=True)  # [B, k], local ids
     gids = idx.astype(jnp.int32) + tp_rank * v_local
     if tp_size > 1:
         vals = jax.lax.all_gather(vals, tp_axis, axis=1, tiled=True)   # [B, tp*k]

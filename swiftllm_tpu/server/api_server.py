@@ -61,23 +61,20 @@ async def generate(request: web.Request) -> web.StreamResponse:
         response = web.StreamResponse(
             headers={"Content-Type": "application/x-ndjson"})
         await response.prepare(request)
-        token_ids: list[int] = []
-        prev_text_len = 0
+        # Incremental detokenization: O(1) decode work per streamed token
+        # (lagging-window algorithm, tokenization.IncrementalDecoder) — the
+        # reference re-decodes with a two-token fallback (api_server.py:44-65);
+        # re-decoding the WHOLE output per token would be O(n²).
+        from swiftllm_tpu.server.tokenization import IncrementalDecoder
+        decoder = IncrementalDecoder(engine.tokenizer) if do_decode else None
         # Submit first so a disconnect BEFORE the first token (request still
         # queued or prefilling) also aborts — the handle exists from the start.
         req = engine.submit(raw)
         try:
             async for step_output in engine.stream_outputs(req):
-                token_ids.append(step_output.token_id)
                 event = {"token_id": step_output.token_id}
-                if do_decode:
-                    # Decode the whole sequence and emit only the new suffix:
-                    # tokenizers can merge the last two tokens, so a per-token
-                    # decode would be wrong at merge points (reference
-                    # api_server.py:44-65).
-                    text = await engine.tokenizer.decode(token_ids)
-                    event["text"] = text[prev_text_len:]
-                    prev_text_len = len(text)
+                if decoder is not None:
+                    event["text"] = await decoder.push(step_output.token_id)
                 await response.write((json.dumps(event) + "\n").encode())
         finally:
             # Client disconnect (write raises) or generator exit: free the seq.

@@ -133,13 +133,17 @@ class Engine:
 
         def run_steps():
             dp = self.model.dp
-            for g in range(dp):
+            # BucketKey includes a sampling bit (greedy-only head vs full
+            # sampler): warm BOTH variants, or the first temperature>0 request
+            # would trigger a tens-of-seconds compile per bucket mid-serving.
+            for temp in (0.0, 1.0):
+              for g in range(dp):
                 mgr_ids = self.scheduler.id_managers[g]
                 n_ids = chunk_rows[-1] + 1
                 ids = [mgr_ids.get_id() for _ in range(n_ids)]
                 reqs = []
                 for i in ids:
-                    r = Request(RawRequest("", 4))
+                    r = Request(RawRequest("", 4, temperature=temp))
                     r.set_prompt_token_ids([1] * chunk)
                     r.seq_id, r.dp_group = i, g
                     reqs.append(r)
@@ -192,14 +196,20 @@ class Engine:
 
     # --- request entry points (reference engine.py:65-87) ----------------------
     def _fits(self, req: Request) -> bool:
-        """Reject requests that could never complete within one sequence's
-        page budget (instead of an assert deep in the batch builder)."""
-        max_len = self.engine_config.max_seq_len
-        if req.prompt_len + req.output_len > max_len:
-            req.aborted = True
-            req.finished_event.set()
-            return False
-        return True
+        """Reject requests that could never complete — length over
+        ``max_seq_len``, or total KV pages over one dp group's whole pool.
+        Without the page check a too-big prompt would sit at the FCFS queue
+        head forever (the scheduler's no-skip-ahead rule would then starve
+        every request behind it), or livelock in swap during decode."""
+        cfg = self.engine_config
+        total = req.prompt_len + req.output_len
+        from swiftllm_tpu.utils import cdiv
+        if (total <= cfg.max_seq_len
+                and cdiv(total, cfg.block_size) <= self.model.num_hbm_blocks):
+            return True
+        req.aborted = True
+        req.finished_event.set()
+        return False
 
     def submit(self, raw_request: RawRequest) -> Request:
         """Enqueue a request and return its handle immediately — so callers

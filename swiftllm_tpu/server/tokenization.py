@@ -39,6 +39,33 @@ def _worker_decode(token_ids: list[int], skip_special_tokens: bool) -> str:
     return _WORKER_TOKENIZER.decode(token_ids, skip_special_tokens=skip_special_tokens)
 
 
+def _incremental_decode(tokenizer, window: list[int], read_rel: int,
+                        skip_special_tokens: bool) -> tuple[str, bool]:
+    """One incremental-detokenization step over a bounded token window.
+
+    ``window`` is the last few tokens (context + pending); ``read_rel`` marks
+    how many of them have already been emitted as text. Returns
+    ``(new_text_suffix, committed)``. When the window decodes to an incomplete
+    UTF-8 sequence (trailing U+FFFD), nothing is emitted and the caller keeps
+    growing the window — the reference handles the same merge problem with a
+    two-token re-decode fallback (reference api_server.py:44-65); this is the
+    O(1)-per-token version of that idea (cost is bounded by the window size,
+    not the output length).
+    """
+    full = tokenizer.decode(window, skip_special_tokens=skip_special_tokens)
+    if full.endswith("�"):
+        return "", False
+    prev = tokenizer.decode(window[:read_rel],
+                            skip_special_tokens=skip_special_tokens)
+    return full[len(prev):], True
+
+
+def _worker_decode_stream(window: list[int], read_rel: int,
+                          skip_special_tokens: bool) -> tuple[str, bool]:
+    return _incremental_decode(_WORKER_TOKENIZER, window, read_rel,
+                               skip_special_tokens)
+
+
 class DummyTokenizer:
     """Deterministic stand-in when no tokenizer files exist (dummy-weight mode)."""
 
@@ -101,7 +128,54 @@ class TokenizationEngine:
             self._pool,
             lambda: self._tokenizer.decode(token_ids, skip_special_tokens=skip_special_tokens))
 
+    async def decode_stream_step(self, window: list[int], read_rel: int,
+                                 skip_special_tokens: bool = True) -> tuple[str, bool]:
+        """One incremental-decode step (see ``_incremental_decode``)."""
+        if self.backend == "inline":
+            return _incremental_decode(self._tokenizer, window, read_rel,
+                                       skip_special_tokens)
+        loop = asyncio.get_running_loop()
+        if self.backend == "process":
+            return await loop.run_in_executor(
+                self._pool, _worker_decode_stream, window, read_rel,
+                skip_special_tokens)
+        return await loop.run_in_executor(
+            self._pool, lambda: _incremental_decode(
+                self._tokenizer, window, read_rel, skip_special_tokens))
+
     def shutdown(self):
         if self._pool is not None:
             self._pool.shutdown(wait=False, cancel_futures=True)
             self._pool = None
+
+
+class IncrementalDecoder:
+    """Streams text from a growing token-id list in O(1) per token.
+
+    Two offsets into the id list: ``prefix`` (start of the decode window —
+    lags a few committed tokens behind so sentencepiece/BPE spacing and byte
+    merges decode with context) and ``read`` (tokens already emitted as
+    text). Each ``push`` decodes only ``ids[prefix:]`` — bounded by the
+    context size plus any still-incomplete UTF-8 tail — instead of the whole
+    accumulated output.
+    """
+
+    CONTEXT = 5
+
+    def __init__(self, engine: TokenizationEngine,
+                 skip_special_tokens: bool = True):
+        self._engine = engine
+        self._skip_special = skip_special_tokens
+        self.ids: list[int] = []
+        self._prefix = 0
+        self._read = 0
+
+    async def push(self, token_id: int) -> str:
+        self.ids.append(token_id)
+        delta, committed = await self._engine.decode_stream_step(
+            self.ids[self._prefix:], self._read - self._prefix,
+            self._skip_special)
+        if committed:
+            self._read = len(self.ids)
+            self._prefix = max(self._prefix, self._read - self.CONTEXT)
+        return delta

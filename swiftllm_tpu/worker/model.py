@@ -47,6 +47,14 @@ def _enable_compilation_cache(cache_dir: str):
         pass
 
 
+def _device_memory_stats() -> dict:
+    """Per-device HBM stats for cache sizing (patchable in tests)."""
+    try:
+        return jax.local_devices()[0].memory_stats() or {}
+    except Exception:   # backends without memory_stats (some CPU builds)
+        return {}
+
+
 class LlamaModel:
     def __init__(self, engine_config: EngineConfig,
                  model_config: LlamaModelConfig | None = None, mesh=None):
@@ -112,9 +120,14 @@ class LlamaModel:
         cfg = self.engine_config
         if cfg.num_hbm_blocks is not None:
             return cfg.num_hbm_blocks
-        dev = jax.devices()[0]
-        stats = dev.memory_stats() or {}
-        limit = stats.get("bytes_limit", 16 * GB)
+        stats = _device_memory_stats()
+        # Backends that don't report memory_stats get a conservative default:
+        # 16 GB matches the v5e HBM, but a CPU backend assuming 16 GB would
+        # try to materialize a ~15 GB host cache (measured: examples/offline.py
+        # on the 1-core CPU box effectively hung zeroing it).
+        default_limit = (16 * GB if jax.local_devices()[0].platform != "cpu"
+                         else 1 * GB)
+        limit = stats.get("bytes_limit", default_limit)
         in_use = stats.get("bytes_in_use", self._weights_bytes())
 
         # Compile the worst-case bucket to learn peak temp usage. The pages

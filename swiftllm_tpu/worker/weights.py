@@ -167,9 +167,14 @@ def load_params(engine_config: EngineConfig, model_config: LlamaModelConfig,
 
     quant = engine_config.quant
     layers = {}
+    # Dummy mode: every layer's slice is identical (the getter caches by
+    # shape), so build [1, ...] stacks and let _place_dummy broadcast to L on
+    # DEVICE — materializing the L-stack on host costs ~14 GB of memcpy at 8B
+    # dims for bytes that would never be uploaded anyway.
+    L_host = 1 if (engine_config.use_dummy and L > 1) else L
     for key, (tmpl, shape, is_gemm) in layer_names.items():
         per_layer = []
-        for i in range(L):
+        for i in range(L_host):
             name = tmpl.format(i=i)
             per_layer.append(gemm(name, shape) if is_gemm
                              else get(name, shape).astype(np_dtype))
@@ -186,24 +191,20 @@ def load_params(engine_config: EngineConfig, model_config: LlamaModelConfig,
     if nkv_eff != nkv:
         rep = nkv_eff // nkv
         for key in ("wk", "wv"):
-            w = layers[key].reshape(L, nkv, hd, D)
+            w = layers[key].reshape(-1, nkv, hd, D)
             layers[key] = np.ascontiguousarray(
-                np.repeat(w, rep, axis=1).reshape(L, nkv_eff * hd, D))
+                np.repeat(w, rep, axis=1).reshape(-1, nkv_eff * hd, D))
 
     # Weight-only quantization at load time (none | int8 | int4), applied
     # layer-by-layer: a whole-stack f32 working copy of an 8B projection is
-    # ~7.5 GB of pointless peak host memory.
+    # ~7.5 GB of pointless peak host memory. (Dummy mode quantizes one slice;
+    # the broadcast in _place_dummy replicates it across layers on device.)
     if quant != "none":
         from swiftllm_tpu.worker.quant import quantize_weight
         for key in GEMM_KEYS:
             w = layers[key]
-            if engine_config.use_dummy:
-                # All layers share one dummy matrix: quantize it once.
-                qd0 = quantize_weight(w[0], quant)
-                layers[key] = {k: np.stack([qd0[k]] * L) for k in qd0}
-            else:
-                qd = [quantize_weight(w[i], quant) for i in range(L)]
-                layers[key] = {k: np.stack([d[k] for d in qd]) for k in qd[0]}
+            qd = [quantize_weight(w[i], quant) for i in range(w.shape[0])]
+            layers[key] = {k: np.stack([d[k] for d in qd]) for k in qd[0]}
 
     def pad_vocab(w: np.ndarray) -> np.ndarray:
         """Pad the vocab axis to a multiple of tp; the sampler masks the padding."""
@@ -236,4 +237,38 @@ def load_params(engine_config: EngineConfig, model_config: LlamaModelConfig,
 
     shardings = named(mesh, param_specs(
         quant, quantized_lm_head=isinstance(lm_head, dict)))
+    if engine_config.use_dummy:
+        return _place_dummy(host_params, shardings, L)
     return jax.tree.map(lambda arr, s: jax.device_put(arr, s), host_params, shardings)
+
+
+def _place_dummy(host_params: dict, shardings: dict, L: int) -> dict:
+    """Device placement for dummy weights that minimizes host→device traffic.
+
+    Every stacked layer tensor holds L identical slices (the dummy getter
+    caches by shape), so upload ONE slice and broadcast on device; and the
+    dummy cache means several leaves share one host buffer (e.g. embed and an
+    untied lm_head are the same [V, D] array) — upload such a buffer once.
+    At 8B dims this cuts dummy startup from ~10 GB of host→device transfer to
+    ~1.5 GB, which matters enormously on a tunneled chip."""
+    placed_by_id: dict[tuple[int, str], jax.Array] = {}
+
+    def place(arr, s):
+        key = (id(arr), str(s))
+        if key not in placed_by_id:
+            placed_by_id[key] = jax.device_put(arr, s)
+        return placed_by_id[key]
+
+    def place_layer(arr, s):
+        if arr.shape[0] != L:   # dummy [1, ...] stack → broadcast to L on device
+            base = jax.device_put(np.ascontiguousarray(arr[0]))
+            return jax.jit(
+                lambda b: jnp.broadcast_to(b[None], (L,) + arr.shape[1:]),
+                out_shardings=s)(base)
+        return jax.device_put(arr, s)
+
+    out = {k: jax.tree.map(place, v, shardings[k])
+           for k, v in host_params.items() if k != "layers"}
+    out["layers"] = jax.tree.map(place_layer, host_params["layers"],
+                                 shardings["layers"])
+    return out

@@ -77,6 +77,45 @@ def test_streaming_matches_non_streaming():
     asyncio.run(_with_server(body))
 
 
+def test_streaming_decode_matches_full():
+    """Concatenated incremental text == one-shot decode of all output ids."""
+    async def body(client):
+        ids = list(range(40, 52))
+        r1 = await (await client.post("/generate", json={
+            "prompt_token_ids": ids, "output_len": 6, "decode": True})).json()
+        resp = await client.post("/generate", json={
+            "prompt_token_ids": ids, "output_len": 6,
+            "stream": True, "decode": True})
+        text = ""
+        async for line in resp.content:
+            if line.strip():
+                text += json.loads(line)["text"]
+        assert text == r1["output"]
+    asyncio.run(_with_server(body))
+
+
+def test_incremental_decoder_utf8_merge():
+    """Multi-byte chars split across tokens are held until complete, then
+    emitted whole — and the total equals the one-shot decode."""
+    from swiftllm_tpu.server.tokenization import _incremental_decode
+
+    class ByteTok:   # each token id is one raw byte
+        def decode(self, ids, skip_special_tokens=True):
+            return bytes(ids).decode("utf-8", errors="replace")
+
+    tok = ByteTok()
+    ids = list("héllo →".encode())   # é and → are multi-byte
+    out, prefix, read = "", 0, 0
+    for i, b in enumerate(ids):
+        delta, committed = _incremental_decode(
+            tok, ids[prefix:i + 1], read - prefix, True)
+        out += delta
+        if committed:
+            read = i + 1
+            prefix = max(prefix, read - 5)
+    assert out == "héllo →"
+
+
 def test_profile_endpoints(tmp_path):
     async def body(client):
         r = await client.post("/profile/start", json={"dir": str(tmp_path)})

@@ -202,6 +202,29 @@ def test_engine_rejects_overlong_request():
     asyncio.run(body())
 
 
+def test_engine_rejects_pool_overflow_request():
+    """A request that fits max_seq_len but can never fit the page POOL must be
+    rejected at admission (not deadlock the FCFS queue head forever)."""
+    async def body():
+        # pool = 8 pages = 128 tokens < max_seq_len = 256 tokens
+        ec = tiny_engine_config(num_hbm_blocks=8, num_cpu_blocks=0)
+        engine = make_engine(ec)
+        await engine.initialize(tokenizer_backend="inline")
+
+        async def clients():
+            big = engine.add_request_and_wait(
+                RawRequest("", 60, prompt_token_ids=list(range(100))))
+            small = engine.add_request_and_wait(
+                RawRequest("", 4, prompt_token_ids=list(range(10))))
+            return await asyncio.gather(big, small)
+
+        (big_req, big_out), (small_req, small_out) = \
+            await run_engine(engine, clients())
+        assert big_req.aborted and big_out == []
+        assert len(small_out) == 4, "request behind the oversized one must run"
+    asyncio.run(body())
+
+
 def test_engine_dp_serving():
     """dp=2 x tp=2 on the virtual device mesh: the engine pins requests to dp
     groups at admission (sticky — each group owns its own page pool and id
