@@ -51,6 +51,27 @@ def quantize_int4(w: np.ndarray) -> dict:
     return {"q4": packed, "s": s.astype(np.float32)}
 
 
+def quantize_weight_jax(w: jax.Array, quant: str):
+    """Device-side twin of quantize_weight (same packing/layout). Used by the
+    on-device dummy-weight generator; kept numerically aligned with the host
+    version so dummy quantized runs quantize the same underlying values the
+    unquantized dummy run uses."""
+    if quant == "none":
+        return w
+    w32 = w.astype(jnp.float32)
+    if quant == "int8":
+        s = jnp.maximum(jnp.max(jnp.abs(w32), axis=-1) / 127.0, 1e-12)
+        q = jnp.clip(jnp.round(w32 / s[..., None]), -127, 127).astype(jnp.int8)
+        return {"q": q, "s": s}
+    if quant == "int4":
+        s = jnp.maximum(jnp.max(jnp.abs(w32), axis=-1) / 7.0, 1e-12)
+        q = jnp.clip(jnp.round(w32 / s[..., None]), -7, 7).astype(jnp.int8)
+        half = q.shape[-1] // 2
+        packed = (q[..., :half] & 0xF) | (q[..., half:] << 4)
+        return {"q4": packed.astype(jnp.int8), "s": s}
+    raise ValueError(f"unknown quant mode {quant!r}")
+
+
 def quantize_weight(w: np.ndarray, quant: str):
     if quant == "none":
         return w

@@ -35,26 +35,87 @@ def _torch_to_numpy(t) -> np.ndarray:
 
 # --- getters: name -> np.ndarray --------------------------------------------------
 
-def _dummy_getter(model_config: LlamaModelConfig, dtype) -> Callable[[str, tuple], np.ndarray]:
-    """uniform(-1e-3, 1e-3) random weights, no checkpoint needed
-    (reference weight.py:215-218). Generated in f32 via rng.random — f64
-    uniform() doubles memory traffic and is ~3x slower at 8B scale — and
-    CACHED BY SHAPE: every layer gets the same random matrix, cutting 8B-scale
-    dummy generation ~30x. Values stay random and deterministic (identical
-    across processes — multi-host dummy runs rely on that); only cross-layer
-    variety is sacrificed, which profiling/benching doesn't need."""
-    rng = np.random.default_rng(0)
-    cache: dict[tuple, np.ndarray] = {}
+def _dummy_params_on_device(engine_config: EngineConfig,
+                            mc: LlamaModelConfig, mesh) -> dict:
+    """Dummy weights generated ON DEVICE (reference weight.py:215-218 builds
+    them on host): uniform(-1e-3, 1e-3), deterministic (fixed per-leaf PRNG
+    keys in traversal order — identical across processes, which multi-host
+    dummy runs rely on). ONE jitted program fills the whole tree directly
+    into its NamedShardings, so dummy startup uploads ZERO bytes — on the
+    tunneled chip the old host-build-then-upload path took 250-690s at 8B
+    dims; this takes one compile + a sub-second device fill.
 
-    def get(name: str, shape: tuple) -> np.ndarray:
-        key = tuple(shape)
-        if key not in cache:
-            w = rng.random(size=shape, dtype=np.float32)
-            w -= 0.5
-            w *= 2e-3
-            cache[key] = w.astype(dtype, copy=False)
-        return cache[key]
-    return get
+    Quantized modes quantize the same underlying uniform randoms ON DEVICE
+    (quantize_weight_jax — per layer under ``lax.map`` so the f32 source
+    exists one layer at a time, never as a whole multi-GB stack), so a dummy
+    int8/int4 run is numerically the quantization of the dummy bf16 run.
+    """
+    from swiftllm_tpu.worker.quant import quantize_weight_jax
+    dtype = jnp.dtype(engine_config.dtype)
+    quant = engine_config.quant
+    tp = mesh.shape["tp"]
+    D, hd = mc.hidden_size, mc.head_dim
+    nq, F, V, L = mc.num_q_heads, mc.ffn_inter_dim, mc.vocab_size, mc.num_layers
+    nkv_eff = effective_num_kv_heads(mc, tp)
+    Vp = cdiv(V, tp) * tp
+    tied = mc.tie_word_embeddings
+
+    shardings = named(mesh, param_specs(
+        quant, quantized_lm_head=(quant != "none" and not tied)))
+
+    counter = [0]
+
+    def next_key():
+        key = jax.random.fold_in(jax.random.key(0), counter[0])
+        counter[0] += 1
+        return key
+
+    def w(shape):
+        return jax.random.uniform(next_key(), shape, jnp.float32,
+                                  -1e-3, 1e-3).astype(dtype)
+
+    def gemm(shape):
+        """[..., out, in] projection in its quantized storage format. The SAME
+        per-leaf/per-layer keys feed both the plain and quantized paths, so
+        the logits of a dummy quantized model track the dummy bf16 model's."""
+        def make(k, shp):
+            u = jax.random.uniform(k, shp, jnp.float32, -1e-3, 1e-3)
+            return u.astype(dtype) if quant == "none" else \
+                quantize_weight_jax(u, quant)
+        key = next_key()
+        if len(shape) == 3:
+            keys = jax.random.split(key, shape[0])
+            return jax.lax.map(lambda k: make(k, shape[1:]), keys)
+        return make(key, shape)
+
+    def build():
+        layers = {
+            "attn_norm": w((L, D)),
+            "wq": gemm((L, nq * hd, D)),
+            "wk": gemm((L, nkv_eff * hd, D)),
+            "wv": gemm((L, nkv_eff * hd, D)),
+            "wo": gemm((L, D, nq * hd)),
+            "ffn_norm": w((L, D)),
+            "w_gate": gemm((L, F, D)),
+            "w_up": gemm((L, F, D)),
+            "w_down": gemm((L, D, F)),
+        }
+        embed = w((Vp, D))
+        if tied:
+            lm_head = embed
+        elif quant != "none":
+            lm_head = gemm((Vp, D))
+        else:
+            lm_head = w((Vp, D))
+        return {
+            "embed": embed,
+            "lm_head": lm_head,
+            "final_norm": w((D,)),
+            "inv_freq": jnp.asarray(compute_inv_freq(mc)),  # exact, not random
+            "layers": layers,
+        }
+
+    return jax.jit(build, out_shardings=shardings)()
 
 
 def _safetensors_getter(path: str):
@@ -105,8 +166,6 @@ def _torch_bin_getter(path: str):
 
 
 def _pick_getter(engine_config: EngineConfig, model_config: LlamaModelConfig, dtype):
-    if engine_config.use_dummy:
-        return _dummy_getter(model_config, dtype)
     path = engine_config.model_path
     if (os.path.exists(os.path.join(path, "model.safetensors"))
             or os.path.exists(os.path.join(path, "model.safetensors.index.json"))):
@@ -136,6 +195,8 @@ def load_params(engine_config: EngineConfig, model_config: LlamaModelConfig,
     leading L axis for the layer scan.
     """
     mc = model_config
+    if engine_config.use_dummy:
+        return _dummy_params_on_device(engine_config, mc, mesh)
     dtype = jnp.dtype(engine_config.dtype)
     np_dtype = ml_dtypes.bfloat16 if dtype == jnp.bfloat16 else np.dtype(engine_config.dtype)
     get = _pick_getter(engine_config, mc, np_dtype)
@@ -167,14 +228,9 @@ def load_params(engine_config: EngineConfig, model_config: LlamaModelConfig,
 
     quant = engine_config.quant
     layers = {}
-    # Dummy mode: every layer's slice is identical (the getter caches by
-    # shape), so build [1, ...] stacks and let _place_dummy broadcast to L on
-    # DEVICE — materializing the L-stack on host costs ~14 GB of memcpy at 8B
-    # dims for bytes that would never be uploaded anyway.
-    L_host = 1 if (engine_config.use_dummy and L > 1) else L
     for key, (tmpl, shape, is_gemm) in layer_names.items():
         per_layer = []
-        for i in range(L_host):
+        for i in range(L):
             name = tmpl.format(i=i)
             per_layer.append(gemm(name, shape) if is_gemm
                              else get(name, shape).astype(np_dtype))
@@ -237,38 +293,4 @@ def load_params(engine_config: EngineConfig, model_config: LlamaModelConfig,
 
     shardings = named(mesh, param_specs(
         quant, quantized_lm_head=isinstance(lm_head, dict)))
-    if engine_config.use_dummy:
-        return _place_dummy(host_params, shardings, L)
     return jax.tree.map(lambda arr, s: jax.device_put(arr, s), host_params, shardings)
-
-
-def _place_dummy(host_params: dict, shardings: dict, L: int) -> dict:
-    """Device placement for dummy weights that minimizes host→device traffic.
-
-    Every stacked layer tensor holds L identical slices (the dummy getter
-    caches by shape), so upload ONE slice and broadcast on device; and the
-    dummy cache means several leaves share one host buffer (e.g. embed and an
-    untied lm_head are the same [V, D] array) — upload such a buffer once.
-    At 8B dims this cuts dummy startup from ~10 GB of host→device transfer to
-    ~1.5 GB, which matters enormously on a tunneled chip."""
-    placed_by_id: dict[tuple[int, str], jax.Array] = {}
-
-    def place(arr, s):
-        key = (id(arr), str(s))
-        if key not in placed_by_id:
-            placed_by_id[key] = jax.device_put(arr, s)
-        return placed_by_id[key]
-
-    def place_layer(arr, s):
-        if arr.shape[0] != L:   # dummy [1, ...] stack → broadcast to L on device
-            base = jax.device_put(np.ascontiguousarray(arr[0]))
-            return jax.jit(
-                lambda b: jnp.broadcast_to(b[None], (L,) + arr.shape[1:]),
-                out_shardings=s)(base)
-        return jax.device_put(arr, s)
-
-    out = {k: jax.tree.map(place, v, shardings[k])
-           for k, v in host_params.items() if k != "layers"}
-    out["layers"] = jax.tree.map(place_layer, host_params["layers"],
-                                 shardings["layers"])
-    return out
