@@ -62,20 +62,44 @@ SMEM_HEADROOM = 64 * 1024
 
 def smem_pages_cap(rows: int) -> int:
     """Largest pages-per-seq bucket whose scalar-prefetched page table still
-    fits SMEM at this row bucket (pow2-floored). Buckets beyond this cap fail
-    to compile ("Ran out of memory in memory space smem") until the planned
-    HBM-staged page-table path lands; profile/warmup must stay under it."""
+    fits SMEM at this row bucket (pow2-floored). Buckets beyond this switch
+    to the HBM-staged page-table path (per-row page-list DMAs into SMEM
+    scratch inside the kernel), whose own ceiling is staged_pages_cap()."""
     cap = (SMEM_BYTES - SMEM_HEADROOM) // (4 * max(rows, 1))
     return max(1, 1 << (cap.bit_length() - 1))
+
+
+_DECODE_R = 4   # rows per grid step of the grouped decode kernel
+
+
+def staged_pages_cap() -> int:
+    """Pages-per-seq ceiling of the HBM-staged page-table path: the decode
+    kernel stages each group's R page lists into a double-buffered SMEM
+    scratch [2, R, Pg] i32, which must fit SMEM with headroom. Independent of
+    the ROWS bucket — this is what lifts the [rows, Pg] scalar-prefetch
+    product limit (16Ki tokens/seq at rows=128/block16) to 256Ki tokens at
+    block16 / 512Ki at block32, covering the reference's 131Ki-token chart
+    point (docs/assets/offline-llama-3-7b-a100.png) and its largest
+    configurable context (engine_config.py:66-71: 32768 blocks x 16)."""
+    cap = (SMEM_BYTES - 2 * SMEM_HEADROOM) // (4 * 2 * _DECODE_R)
+    return max(1, 1 << (cap.bit_length() - 1))
+
+
+def max_pages_cap(rows: int) -> int:
+    """Largest compilable pages-per-seq bucket at this row bucket (either
+    page-table mode). Admission/bucket logic must stay under this."""
+    return max(smem_pages_cap(rows), staged_pages_cap())
 
 
 _FAST_SIZES = (1, 2, 4, 8, 16, 32)
 
 
-def _make_chunk_io(cache_hbm, layer, page_table_ref, kv_buf, kv_sems, *,
+def _make_chunk_io(cache_hbm, layer, pt_read, kv_buf, kv_sems, *,
                    page_size: int, chunk_pages: int):
     """Async-copy helpers for one row's KV chunks over a FLAT per-slot buffer
-    kv_buf [2, chunk_pages*page_size, lanes].
+    kv_buf [2, chunk_pages*page_size, lanes]. ``pt_read(b, j)`` returns row
+    b's j-th page id (from the scalar-prefetched table, or from the SMEM
+    staging buffer on the HBM-staged path).
 
     Two paths, selected by the per-row ``sel`` scalar the dispatch computes:
     - sel > 0 (row's pages are CONSECUTIVE in the pool and fit one chunk —
@@ -96,7 +120,7 @@ def _make_chunk_io(cache_hbm, layer, page_table_ref, kv_buf, kv_sems, *,
             for z in sizes:
                 @pl.when((c == 0) & (sel == z))
                 def _(z=z):
-                    p0 = page_table_ref[b, 0]
+                    p0 = pt_read(b, 0)
                     pltpu.make_async_copy(
                         cache_hbm.at[layer, pl.ds(p0 * page_size,
                                                   z * page_size)],
@@ -108,7 +132,7 @@ def _make_chunk_io(cache_hbm, layer, page_table_ref, kv_buf, kv_sems, *,
         for j in range(chunk_pages):
             @pl.when(fallback & (base + j < need))
             def _(j=j):
-                page = page_table_ref[b, base + j]
+                page = pt_read(b, base + j)
                 pltpu.make_async_copy(
                     cache_hbm.at[layer, pl.ds(page * page_size, page_size)],
                     kv_buf.at[slot, pl.ds(j * page_size, page_size)],
@@ -140,14 +164,9 @@ def _make_chunk_io(cache_hbm, layer, page_table_ref, kv_buf, kv_sems, *,
 
 
 def _decode_kernel_grouped(
-    layer_ref, q_lens_ref, seq_lens_ref, page_table_ref, kv_slots_ref, sel_ref,
-    q_ref,          # VMEM block [R*n_q, hd] (R rows' heads as sublanes)
-    kv_new_ref,     # VMEM block [br, R*W] — R rows' new K‖V concatenated on lanes
-    cache_in,       # [L, S, W] HBM (aliased with cache_out)
-    o_ref,          # VMEM block [R*n_q, hd]
-    cache_out,      # aliased HBM output
-    kv_buf, kv_sems, w_buf, w_rsems, w_wsems, ctr_ref, wpend_ref,
-    *, page_size, chunk_pages, sm_scale, n_q, n_kv, hd, n_rows, R, br, W,
+    *refs,
+    page_size, chunk_pages, sm_scale, n_q, n_kv, hd, n_rows, R, br, W,
+    staged=False,
 ):
     """R-row batched decode attention with the KV-cache update fused in.
 
@@ -176,7 +195,30 @@ def _decode_kernel_grouped(
     kv_new arrives reshaped [n_rows//R, R*W] (row g = the R rows' fresh K‖V
     side by side) and blocked ``br`` group-rows at a time so each grid step
     reads an [br, R*W] value instead of the whole [n_rows, W] array.
+
+    Page-table modes: ``staged=False`` reads page ids from the
+    scalar-prefetched [rows, Pg] table; ``staged=True`` (contexts beyond
+    smem_pages_cap) takes the table as an HBM operand and DMAs each group's R
+    page lists into a parity-double-buffered SMEM scratch one group ahead,
+    so id reads still come from SMEM with no stall on the critical path.
+
+    Positional refs (flat, per pallas_call):
+      scalars:  layer, q_lens, seq_lens, [page_table], kv_slots, sel
+      inputs:   q [R*n_q, hd] block, kv_new [br, R*W] block,
+                cache_in [L, S, W] HBM (aliased), [pt_hbm [rows, Pg] HBM]
+      outputs:  o [R*n_q, hd] block, cache_out (alias of cache_in)
+      scratch:  kv_buf, kv_sems, w_buf, w_rsems, w_wsems, ctr, wpend,
+                [pt_smem [2, R, Pg] SMEM, pt_sems [2, R]]
     """
+    if staged:
+        (layer_ref, q_lens_ref, seq_lens_ref, kv_slots_ref, sel_ref,
+         q_ref, kv_new_ref, cache_in, pt_hbm, o_ref, cache_out,
+         kv_buf, kv_sems, w_buf, w_rsems, w_wsems, ctr_ref, wpend_ref,
+         pt_smem, pt_sems) = refs
+    else:
+        (layer_ref, q_lens_ref, seq_lens_ref, page_table_ref, kv_slots_ref,
+         sel_ref, q_ref, kv_new_ref, cache_in, o_ref, cache_out,
+         kv_buf, kv_sems, w_buf, w_rsems, w_wsems, ctr_ref, wpend_ref) = refs
     g = pl.program_id(0)
     layer = layer_ref[0]
     chunk = chunk_pages * page_size
@@ -204,6 +246,35 @@ def _decode_kernel_grouped(
                                   preferred_element_type=jnp.float32)
         return 1.0 / jnp.maximum(sel, 1e-20)
 
+    if staged:
+        def pt_read(b, r, j):
+            # Parity of b's group: staged one group ahead (see start_pt).
+            return pt_smem[(b // R) % 2, r, j]
+    else:
+        def pt_read(b, r, j):
+            return page_table_ref[b, j]
+
+    def start_pt(gb, par):
+        """Stage group gb's R page lists HBM→SMEM into parity ``par``."""
+        if not staged:
+            return
+        for r in range(R):
+            b = gb * R + r
+            @pl.when(q_lens_ref[b] > 0)
+            def _(b=b, r=r):
+                pltpu.make_async_copy(pt_hbm.at[b], pt_smem.at[par, r],
+                                      pt_sems.at[par, r]).start()
+
+    def wait_pt(gb, par):
+        if not staged:
+            return
+        for r in range(R):
+            b = gb * R + r
+            @pl.when(q_lens_ref[b] > 0)
+            def _(b=b, r=r):
+                pltpu.make_async_copy(pt_hbm.at[b], pt_smem.at[par, r],
+                                      pt_sems.at[par, r]).wait()
+
     def start_row(b, r, c, slot):
         """Start row b's chunk-c DMAs into lane block r of kv_buf[slot]."""
         sel = sel_ref[b]
@@ -211,7 +282,7 @@ def _decode_kernel_grouped(
         for z in sizes:
             @pl.when((c == 0) & (sel == z))
             def _(z=z):
-                p0 = page_table_ref[b, 0]
+                p0 = pt_read(b, r, 0)
                 pltpu.make_async_copy(
                     cache_in.at[layer, pl.ds(p0 * page_size, z * page_size)],
                     kv_buf.at[slot, pl.ds(0, z * page_size),
@@ -222,7 +293,7 @@ def _decode_kernel_grouped(
         for j in range(chunk_pages):
             @pl.when((sel == 0) & (base + j < need))
             def _(j=j):
-                page = page_table_ref[b, base + j]
+                page = pt_read(b, r, base + j)
                 pltpu.make_async_copy(
                     cache_in.at[layer, pl.ds(page * page_size, page_size)],
                     kv_buf.at[slot, pl.ds(j * page_size, page_size),
@@ -293,6 +364,8 @@ def _decode_kernel_grouped(
 
         @pl.when(q_lens_ref[0] > 0)     # a fully masked step starts nothing
         def _():
+            start_pt(0, 0)
+            wait_pt(0, 0)
             start_grp(0, 0, 0)
             start_rmw_reads(0, 0)
 
@@ -328,7 +401,12 @@ def _decode_kernel_grouped(
 
         @pl.when(next_valid)
         def _():
+            # Stage the NEXT group's page lists first so the id DMA flies
+            # behind the RMW page reads; wait before any start_grp(g_next)
+            # can consume them (first possible use: the nc==0 branch below).
+            start_pt(g_next, par_n)
             start_rmw_reads(g_next, par_n)
+            wait_pt(g_next, par_n)
 
         # hist == 0 groups run zero chunk iterations; keep the prefetch chain
         # alive here instead.
@@ -497,12 +575,9 @@ def _decode_kernel_grouped(
 
 
 def _tiles_kernel(
-    layer_ref, q_starts_ref, q_lens_ref, seq_lens_ref, page_table_ref,
-    q_hbm,          # [n_q, T, hdp]  (head-major, head_dim lane-padded to 128)
-    cache_hbm,      # [S, W]
-    o_hbm,          # [n_q, T, hdp]
-    q_buf, kv_buf, o_buf, q_sem, kv_sems, o_sem,
-    *, page_size, tile_q, chunk_pages, sm_scale, n_q, n_kv, hd, W, hdp,
+    *refs,
+    page_size, tile_q, chunk_pages, sm_scale, n_q, n_kv, hd, W, hdp,
+    staged=False,
 ):
     """Prefill/mixed tile attention, heads batched per KV head.
 
@@ -515,7 +590,21 @@ def _tiles_kernel(
     online-softmax bookkeeping batches group-wide. The per-q-head loop this
     replaces issued n_q tiny matmuls + n_q softmax chains per chunk and
     measured ~180x its FLOP cost (19.6 ms of a 50 ms 2k-token prefill step at
-    1B dims on v5e)."""
+    1B dims on v5e).
+
+    Page-table modes as in the decode kernel: scalar-prefetched [rows, Pg]
+    table, or (``staged``) an HBM table staged per ROW into SMEM scratch at
+    the row's first tile — the grid is row-major (b, t), so tiles t > 0 reuse
+    the staged list with no further DMAs."""
+    if staged:
+        (layer_ref, q_starts_ref, q_lens_ref, seq_lens_ref,
+         q_hbm, cache_hbm, pt_hbm, o_hbm,
+         q_buf, kv_buf, o_buf, q_sem, kv_sems, o_sem,
+         pt_smem, pt_sem) = refs
+    else:
+        (layer_ref, q_starts_ref, q_lens_ref, seq_lens_ref, page_table_ref,
+         q_hbm, cache_hbm, o_hbm,
+         q_buf, kv_buf, o_buf, q_sem, kv_sems, o_sem) = refs
     b = pl.program_id(0)
     t = pl.program_id(1)
     chunk = chunk_pages * page_size
@@ -525,12 +614,22 @@ def _tiles_kernel(
     q_len = q_lens_ref[b]
     seq_len = seq_lens_ref[b]
     q_start = q_starts_ref[b]
+    if staged:
+        pt_read = lambda b_, j: pt_smem[j]
+    else:
+        pt_read = lambda b_, j: page_table_ref[b_, j]
     start_chunk, wait_chunk = _make_chunk_io(
-        cache_hbm, layer_ref[0], page_table_ref, kv_buf, kv_sems,
+        cache_hbm, layer_ref[0], pt_read, kv_buf, kv_sems,
         page_size=page_size, chunk_pages=chunk_pages)
 
     @pl.when((q_len > t * tile_q) & (seq_len > 0))
     def _run():
+        if staged:
+            @pl.when(t == 0)   # stage THIS row's page list once per row
+            def _():
+                cp = pltpu.make_async_copy(pt_hbm.at[b], pt_smem, pt_sem)
+                cp.start()
+                cp.wait()
         # Spans are tile-aligned by the builder, so this offset is aligned.
         tile_start = pl.multiple_of(q_start + t * tile_q, tile_q)
         q_dma = pltpu.make_async_copy(
@@ -650,7 +749,8 @@ def ragged_paged_attention(q, cache3, layer, batch, *, n_kv: int,
                            page_size: int, sm_scale: float, q_bucket: int,
                            kv_new=None,
                            interpret: bool = False,
-                           max_chunk_pages: int | None = None):
+                           max_chunk_pages: int | None = None,
+                           staged_pt: bool | None = None):
     """q: [T, n_q, hd]; cache3: [L, S, n_kv*2*hd] — the FULL 3-D cache
     (per-shard), lanes laid out as [K_all ‖ V_all]: the shard's n_kv K heads
     contiguous, then its V heads. The kernel indexes the
@@ -720,7 +820,7 @@ def ragged_paged_attention(q, cache3, layer, batch, *, n_kv: int,
         sel = jnp.where((need > 0) & (batch.q_lens[:B] > 0) & contig & fits
                         & (pow2 > 0) & (pow2 <= chunk_pages),
                         pow2, 0).astype(jnp.int32)
-        R = 4                       # rows per grid step (grouped kernel)
+        R = _DECODE_R               # rows per grid step (grouped kernel)
         # B is a pow2 bucket; tiny batches (B < R) pad up to one group with
         # q_lens == 0 rows (the kernel's masked-suffix contract) so the
         # grouped kernel is the ONLY decode path.
@@ -761,46 +861,68 @@ def ragged_paged_attention(q, cache3, layer, batch, *, n_kv: int,
             kv_new_rows = jnp.pad(kv_new_rows, ((0, rp), (0, 0)))
         GB = Bp // R
         br = 8 if GB % 8 == 0 else GB
+        Pg_p = pt_g.shape[1]
+        # Page-table mode: scalar-prefetch while [rows, Pg] fits SMEM; beyond
+        # that, ship the table as an HBM operand and let the kernel stage it
+        # (staged_pages_cap is the hard ceiling either way).
+        staged = (staged_pt if staged_pt is not None
+                  else Bp * Pg_p * 4 > SMEM_BYTES - SMEM_HEADROOM)
+        if staged:
+            assert Pg_p <= staged_pages_cap(), (
+                f"pages/seq {Pg_p} exceeds the HBM-staged page-table cap "
+                f"{staged_pages_cap()} (≈{staged_pages_cap() * page_size} "
+                f"tokens at this page size)")
+        in_specs = [
+            pl.BlockSpec((R * n_q, hd), lambda g, *refs: (g, 0)),  # q
+            pl.BlockSpec((br, R * W), lambda g, *refs: (g // br, 0)),
+            pl.BlockSpec(memory_space=pltpu.HBM),  # cache (aliased)
+        ]
+        scratch = [
+            pltpu.VMEM((2, chunk_pages * page_size, R * W),
+                       cache3.dtype),
+            pltpu.SemaphoreType.DMA((2, R, chunk_pages)),
+            pltpu.VMEM((2, R, page_size, W), cache3.dtype),  # w_buf
+            pltpu.SemaphoreType.DMA((2, R)),   # page reads
+            pltpu.SemaphoreType.DMA((2, R)),   # page writes (deferred)
+            pltpu.SMEM((1,), jnp.int32),       # chunk-slot parity
+            pltpu.SMEM((2, R), jnp.int32),     # write pending flags
+        ]
+        if staged:
+            scalars = (layer_arr, q_lens_l, seq_lens_l, kv_slots_l, sel)
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))  # pt
+            scratch += [pltpu.SMEM((2, R, Pg_p), jnp.int32),
+                        pltpu.SemaphoreType.DMA((2, R))]
+            inputs = (q_rows, kv_new_rows.reshape(GB, R * W), cache3, pt_g)
+            # flat operands: 5 scalar-prefetch, q=5, kv_new=6, cache=7, pt=8.
+            aliases = {7: 1}
+        else:
+            scalars = (layer_arr, q_lens_l, seq_lens_l, pt_g, kv_slots_l, sel)
+            inputs = (q_rows, kv_new_rows.reshape(GB, R * W), cache3)
+            # flat operands: 6 scalar-prefetch, q=6, kv_new=7, cache=8.
+            aliases = {8: 1}
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=6,
+            num_scalar_prefetch=len(scalars),
             grid=(GB,),
-            in_specs=[
-                pl.BlockSpec((R * n_q, hd), lambda g, *refs: (g, 0)),  # q
-                pl.BlockSpec((br, R * W), lambda g, *refs: (g // br, 0)),
-                pl.BlockSpec(memory_space=pltpu.HBM),  # cache (aliased)
-            ],
+            in_specs=in_specs,
             out_specs=[
                 pl.BlockSpec((R * n_q, hd), lambda g, *refs: (g, 0)),  # o
                 pl.BlockSpec(memory_space=pltpu.HBM),  # cache out (alias)
             ],
-            scratch_shapes=[
-                pltpu.VMEM((2, chunk_pages * page_size, R * W),
-                           cache3.dtype),
-                pltpu.SemaphoreType.DMA((2, R, chunk_pages)),
-                pltpu.VMEM((2, R, page_size, W), cache3.dtype),  # w_buf
-                pltpu.SemaphoreType.DMA((2, R)),   # page reads
-                pltpu.SemaphoreType.DMA((2, R)),   # page writes (deferred)
-                pltpu.SMEM((1,), jnp.int32),       # chunk-slot parity
-                pltpu.SMEM((2, R), jnp.int32),     # write pending flags
-            ],
+            scratch_shapes=scratch,
         )
         kernel = functools.partial(
             _decode_kernel_grouped, page_size=page_size,
             chunk_pages=chunk_pages, sm_scale=sm_scale, n_q=n_q,
-            n_kv=n_kv, hd=hd, n_rows=Bp, R=R, br=br, W=W)
+            n_kv=n_kv, hd=hd, n_rows=Bp, R=R, br=br, W=W, staged=staged)
         out, cache3 = pl.pallas_call(
             kernel, grid_spec=grid_spec,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             out_shape=[jax.ShapeDtypeStruct((Bp * n_q, hd), q.dtype),
                        jax.ShapeDtypeStruct(cache3.shape, cache3.dtype)],
-            # flat operands: 6 scalar-prefetch, q=6, kv_new=7, cache=8.
-            input_output_aliases={8: 1},
+            input_output_aliases=aliases,
             interpret=interpret,
-        )(layer_arr, q_lens_l, seq_lens_l, pt_g, kv_slots_l, sel,
-          q_rows,
-          kv_new_rows.reshape(GB, R * W),
-          cache3)
+        )(*scalars, *inputs)
         out = out[:B * n_q].reshape(B, n_q * hd)
         if T > B:
             out = jnp.pad(out, ((0, T - B), (0, 0)))
@@ -819,17 +941,30 @@ def ragged_paged_attention(q, cache3, layer, batch, *, n_kv: int,
     pad_pages = chunk_pages * max_chunks - Pg
     pt = (jnp.pad(batch.page_table, ((0, 0), (0, pad_pages)))
           if pad_pages else batch.page_table)
-    scalars = (layer_arr, batch.q_starts, batch.q_lens, batch.seq_lens, pt)
+    Pg_p = pt.shape[1]
+    staged = (staged_pt if staged_pt is not None
+              else B * Pg_p * 4 > SMEM_BYTES - SMEM_HEADROOM)
+    if staged:
+        assert Pg_p * 4 <= SMEM_BYTES - 2 * SMEM_HEADROOM, \
+            f"pages/seq {Pg_p} exceeds the tile kernel's staged SMEM budget"
+        scalars = (layer_arr, batch.q_starts, batch.q_lens, batch.seq_lens)
+        extra_in = [pl.BlockSpec(memory_space=pltpu.HBM)]       # pt
+        extra_scratch = [pltpu.SMEM((Pg_p,), jnp.int32),
+                         pltpu.SemaphoreType.DMA]
+    else:
+        scalars = (layer_arr, batch.q_starts, batch.q_lens, batch.seq_lens, pt)
+        extra_in = []
+        extra_scratch = []
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=len(scalars),
         grid=(B, cdiv(q_bucket, tile_q)),
         in_specs=[
             # Explicit HBM: with pl.ANY the compiler may promote small arrays
             # to VMEM, where unaligned slices are illegal.
             pl.BlockSpec(memory_space=pltpu.HBM),   # q
             pl.BlockSpec(memory_space=pltpu.HBM),   # cache
-        ],
+        ] + extra_in,
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
             pltpu.VMEM((n_q, tile_q, hdp), q.dtype),                        # q_buf
@@ -838,23 +973,24 @@ def ragged_paged_attention(q, cache3, layer, batch, *, n_kv: int,
             pltpu.SemaphoreType.DMA,                                        # q_sem
             pltpu.SemaphoreType.DMA((2, chunk_pages)),                      # kv_sems
             pltpu.SemaphoreType.DMA,                                        # o_sem
-        ],
+        ] + extra_scratch,
     )
     kernel = functools.partial(
         _tiles_kernel, page_size=page_size, tile_q=tile_q,
         chunk_pages=chunk_pages, sm_scale=sm_scale, n_q=n_q, n_kv=n_kv, hd=hd,
-        W=W, hdp=hdp)
+        W=W, hdp=hdp, staged=staged)
     # Head-block-major q in / out: an XLA transpose at the boundary is a tiny
     # relayout of q-sized data; it buys the kernel group-wide sublane-stacked
     # matmuls (see _tiles_kernel).
     q_hm = jnp.swapaxes(q, 0, 1)                     # [n_q, T, hd]
     if hdp > hd:
         q_hm = jnp.pad(q_hm, ((0, 0), (0, 0), (0, hdp - hd)))
+    inputs = (q_hm, cache3, pt) if staged else (q_hm, cache3)
     out3 = pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_q, T, hdp), q.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(*scalars, q_hm, cache3)
+    )(*scalars, *inputs)
     return jnp.swapaxes(out3[:, :, :hd], 0, 1)

@@ -197,15 +197,23 @@ class Engine:
     # --- request entry points (reference engine.py:65-87) ----------------------
     def _fits(self, req: Request) -> bool:
         """Reject requests that could never complete — length over
-        ``max_seq_len``, or total KV pages over one dp group's whole pool.
+        ``max_seq_len``, total KV pages over one dp group's whole pool, or
+        over the kernel's largest compilable pages-per-seq bucket.
         Without the page check a too-big prompt would sit at the FCFS queue
         head forever (the scheduler's no-skip-ahead rule would then starve
-        every request behind it), or livelock in swap during decode."""
+        every request behind it), or livelock in swap during decode; without
+        the bucket check the builder would try to compile an impossible
+        bucket and crash the whole server."""
         cfg = self.engine_config
         total = req.prompt_len + req.output_len
-        from swiftllm_tpu.utils import cdiv
+        from swiftllm_tpu.utils import cdiv, next_power_of_2
+        pages_ceiling = self.model.num_hbm_blocks
+        if cfg.use_pallas:
+            from swiftllm_tpu.ops.paged_attention import max_pages_cap
+            pages_ceiling = min(pages_ceiling, max_pages_cap(
+                next_power_of_2(cfg.max_batch_size)))
         if (total <= cfg.max_seq_len
-                and cdiv(total, cfg.block_size) <= self.model.num_hbm_blocks):
+                and cdiv(total, cfg.block_size) <= pages_ceiling):
             return True
         req.aborted = True
         req.finished_event.set()

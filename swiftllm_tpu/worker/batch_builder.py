@@ -75,11 +75,12 @@ def select_buckets(groups: list[list[ScheduledSeq]], cfg: EngineConfig) -> Bucke
     # longest live sequence — letting the bucket float meant every new
     # page-bucket crossing stalled serving for a compile (measured as
     # multi-second TTFT p50 at low request rates). Pin to the per-sequence
-    # maximum (capped by the kernel's SMEM page-table budget); only contexts
-    # beyond the SMEM cap fall back to a floating bucket.
-    from swiftllm_tpu.ops.paged_attention import smem_pages_cap
+    # maximum (capped by the kernel's page-table budget: scalar-prefetch SMEM
+    # for short contexts, the HBM-staged path beyond — max_pages_cap); only
+    # contexts beyond the pinned bucket fall back to a floating bucket.
+    from swiftllm_tpu.ops.paged_attention import max_pages_cap
     pages_pinned = min(_pick_bucket(cfg.page_buckets, cfg.max_blocks_per_seq),
-                       smem_pages_cap(rows_bucket))
+                       max_pages_cap(rows_bucket))
     pages = (pages_pinned if max_pages <= pages_pinned
              else _pick_bucket(cfg.page_buckets, max_pages, hard=True))
     # hard=True: tile padding must never silently compile an unplanned larger

@@ -131,11 +131,11 @@ class LlamaModel:
         in_use = stats.get("bytes_in_use", self._weights_bytes())
 
         # Compile the worst-case bucket to learn peak temp usage. The pages
-        # bucket is capped by the kernel's SMEM page-table budget (temp usage
+        # bucket is capped by the kernel's page-table budget (temp usage
         # scales with the token/row buckets, not with Pg).
-        from swiftllm_tpu.ops.paged_attention import smem_pages_cap
+        from swiftllm_tpu.ops.paged_attention import max_pages_cap
         rows = next_power_of_2(cfg.max_batch_size)
-        pages = min(cfg.page_buckets[-1], smem_pages_cap(rows))
+        pages = min(cfg.page_buckets[-1], max_pages_cap(rows))
         key = BucketKey(tokens=cfg.token_buckets[-1],
                         rows=rows,
                         pages=pages,

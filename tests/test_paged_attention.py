@@ -84,7 +84,8 @@ def make_case(rng, seq_specs, *, n_q=4, n_kv=2, hd=32, page_size=8, Pg=8,
     return jnp.asarray(q), jnp.asarray(cache), batch, q_bucket
 
 
-def compare(q, cache, batch, q_bucket, atol=None, max_chunk_pages=None):
+def compare(q, cache, batch, q_bucket, atol=None, max_chunk_pages=None,
+            staged_pt=None):
     atol = atol if atol is not None else ATOL
     ref = _ragged_paged_attention_jnp(q, cache, batch, page_size=8,
                                       sm_scale=0.125, q_bucket=q_bucket)
@@ -99,14 +100,16 @@ def compare(q, cache, batch, q_bucket, atol=None, max_chunk_pages=None):
         got, cache_out = ragged_paged_attention(
             q, cache3, jnp.int32(1), batch, n_kv=n_kv, page_size=8,
             sm_scale=0.125, q_bucket=q_bucket, kv_new=kv_new,
-            interpret=INTERPRET, max_chunk_pages=max_chunk_pages)
+            interpret=INTERPRET, max_chunk_pages=max_chunk_pages,
+            staged_pt=staged_pt)
         # The write must be a no-op here (same data back to the same slots).
         np.testing.assert_array_equal(np.asarray(cache_out), np.asarray(cache3))
     else:
         got = ragged_paged_attention(
             q, cache3, jnp.int32(1), batch, n_kv=n_kv, page_size=8,
             sm_scale=0.125, q_bucket=q_bucket,
-            interpret=INTERPRET, max_chunk_pages=max_chunk_pages)
+            interpret=INTERPRET, max_chunk_pages=max_chunk_pages,
+            staged_pt=staged_pt)
     # Only compare real token rows; pad rows are unspecified by contract.
     q_starts = np.asarray(batch.q_starts)
     q_lens = np.asarray(batch.q_lens)
@@ -168,6 +171,23 @@ def test_large_tile_partial():
     rng = np.random.default_rng(7)
     case = make_case(rng, [(130, 130), (1, 40)], Pg=32, q_bucket=256)
     compare(*case)
+
+
+def test_staged_page_table_decode():
+    """HBM-staged page-table path (contexts beyond the SMEM scalar-prefetch
+    budget): decode kernel stages each group's page lists into SMEM scratch.
+    Forced on small shapes here; on the real chip the long-context bench
+    (b1/c131072) exercises it at production size."""
+    rng = np.random.default_rng(20)
+    case = make_case(rng, [(1, 512), (1, 300), (1, 64), (1, 9), (1, 1)],
+                     Pg=64, page_size=8)
+    compare(*case, max_chunk_pages=8, staged_pt=True)
+
+
+def test_staged_page_table_prefill_mixed():
+    rng = np.random.default_rng(21)
+    case = make_case(rng, [(8, 200), (1, 77), (16, 16)], Pg=32, page_size=8)
+    compare(*case, max_chunk_pages=4, staged_pt=True)
 
 
 def test_fp8_cache_decode():
