@@ -285,6 +285,15 @@ def _attention_and_store(q, kv_new, cache3, layer, batch, *, n_kv,
     whole-cache copies every layer. Other paths scatter first, then attend."""
     T, n_q, hd = q.shape
     if use_pallas:
+        # Per-SHARD head shapes must satisfy the kernel's 128-lane tiling
+        # contract; small models at high tp can violate it (n_q_local*hd or
+        # the shard's cache lane width under 128). Shapes are static, so this
+        # resolves at trace time: such shards take the jnp path instead of
+        # failing Mosaic layout checks.
+        from swiftllm_tpu.ops.paged_attention import kernel_supports
+        use_pallas = kernel_supports(n_q, n_kv, hd,
+                                     cache3.shape[2] - 2 * n_kv * hd)
+    if use_pallas:
         from swiftllm_tpu.ops.paged_attention import ragged_paged_attention
         if q_bucket == 1:
             attn, cache3 = ragged_paged_attention(

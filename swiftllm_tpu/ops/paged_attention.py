@@ -43,6 +43,7 @@ Mosaic layout rules this design honors (learned the hard way):
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -89,6 +90,23 @@ def max_pages_cap(rows: int) -> int:
     """Largest compilable pages-per-seq bucket at this row bucket (either
     page-table mode). Admission/bucket logic must stay under this."""
     return max(smem_pages_cap(rows), staged_pages_cap())
+
+
+def kernel_supports(n_q: int, n_kv: int, hd: int, scale_lanes: int = 0) -> bool:
+    """Whether PER-SHARD head shapes satisfy the kernel's Mosaic layout
+    contract (128-lane tiling of the flat q and cache-lane views). Small
+    models sharded at high tp can violate this (e.g. n_q=2, hd=32 at tp=4);
+    the model falls back to the jnp attention path for such shards instead of
+    failing at trace time."""
+    W = 2 * n_kv * hd + scale_lanes
+    return (n_q * hd) % 128 == 0 and W % 128 == 0 and W % hd == 0
+
+
+def _interpret_default() -> bool:
+    """SWIFTLLM_PALLAS_INTERPRET=1 runs every kernel in interpret mode — the
+    CI hook that lets the FULL model path (use_pallas=True, shard_map tp>1)
+    execute on the CPU backend where Mosaic cannot compile."""
+    return os.environ.get("SWIFTLLM_PALLAS_INTERPRET", "0") == "1"
 
 
 _FAST_SIZES = (1, 2, 4, 8, 16, 32)
@@ -748,7 +766,7 @@ def _chunk_geometry(Pg, page_size, W, itemsize, max_chunk_pages):
 def ragged_paged_attention(q, cache3, layer, batch, *, n_kv: int,
                            page_size: int, sm_scale: float, q_bucket: int,
                            kv_new=None,
-                           interpret: bool = False,
+                           interpret: bool | None = None,
                            max_chunk_pages: int | None = None,
                            staged_pt: bool | None = None):
     """q: [T, n_q, hd]; cache3: [L, S, n_kv*2*hd] — the FULL 3-D cache
@@ -763,6 +781,8 @@ def ragged_paged_attention(q, cache3, layer, batch, *, n_kv: int,
     (out, updated_cache). An XLA-level scatter next to this custom call forces
     whole-cache copies every layer; the fused write keeps the update in place.
     Without kv_new, returns just `out` (caller has already scattered)."""
+    if interpret is None:
+        interpret = _interpret_default()
     T, n_q, hd = q.shape
     B, Pg = batch.page_table.shape
     # Lane width: [K_all ‖ V_all] plus, under fp8 KV quant, one trailing
