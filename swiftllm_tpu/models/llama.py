@@ -393,16 +393,48 @@ def forward_shard(
     L = kv_cache.shape[0]
     cache2 = kv_cache
 
+    # Fused-INT4 path (decode-size buckets): stream each packed weight byte
+    # ONCE through ops/int4_matmul instead of the XLA two-half-dot path that
+    # reads it twice. Such weights move OUT of the scan xs into closure
+    # captures — a scan slice fed to a custom call materializes a per-layer
+    # copy of exactly the bytes the kernel exists to stream once — and the
+    # kernel indexes the stacked [L, N, K/2] array by the scalar-prefetched
+    # layer id. Static per-weight decision (shapes must tile).
+    layers_all = params["layers"]
+    int4_full: dict[str, Any] = {}
+    if use_pallas and T <= 256:
+        from swiftllm_tpu.ops.int4_matmul import _pick_tiles
+        for name, wmat in layers_all.items():
+            if isinstance(wmat, dict) and "q4" in wmat:
+                _, N_w, KH_w = wmat["q4"].shape
+                if _pick_tiles(N_w, KH_w, 2) is not None:
+                    int4_full[name] = wmat
+    layers_scanned = {k_: v_ for k_, v_ in layers_all.items()
+                      if k_ not in int4_full}
+
     def layer_step(carry, scanned):
         x, cache = carry
         l, w = scanned
         from swiftllm_tpu.worker.quant import out_features, proj
+
+        def wfor(name):
+            return int4_full[name] if name in int4_full else w[name]
+
+        def mproj(h_, name):
+            if name in int4_full:
+                from swiftllm_tpu.ops.int4_matmul import int4_proj_stacked
+                y = int4_proj_stacked(h_, int4_full[name]["q4"],
+                                      int4_full[name]["s"], l)
+                assert y is not None, name   # _pick_tiles pre-validated
+                return y
+            return proj(h_, w[name])
+
         h = rms_norm(x, w["attn_norm"], eps)
-        n_q_l = out_features(w["wq"]) // hd
-        n_kv_l = out_features(w["wk"]) // hd
-        q = proj(h, w["wq"]).reshape(T, n_q_l, hd)
-        k = proj(h, w["wk"]).reshape(T, n_kv_l, hd)
-        v = proj(h, w["wv"]).reshape(T, n_kv_l, hd)
+        n_q_l = out_features(wfor("wq")) // hd
+        n_kv_l = out_features(wfor("wk")) // hd
+        q = mproj(h, "wq").reshape(T, n_q_l, hd)
+        k = mproj(h, "wk").reshape(T, n_kv_l, hd)
+        v = mproj(h, "wv").reshape(T, n_kv_l, hd)
         q = apply_rope(q, batch.positions, inv_freq)
         k = apply_rope(k, batch.positions, inv_freq)
 
@@ -432,17 +464,17 @@ def forward_shard(
             page_size=page_size, sm_scale=sm_scale, use_pallas=use_pallas,
             q_bucket=q_bucket)
         attn = attn.reshape(T, n_q_l * hd)
-        x = x + psum_tp(proj(attn, w["wo"]))
+        x = x + psum_tp(mproj(attn, "wo"))
 
         h = rms_norm(x, w["ffn_norm"], eps)
-        gate = jax.nn.silu(proj(h, w["w_gate"]).astype(jnp.float32)).astype(x.dtype)
-        ffn = proj(gate * proj(h, w["w_up"]), w["w_down"])
+        gate = jax.nn.silu(mproj(h, "w_gate").astype(jnp.float32)).astype(x.dtype)
+        ffn = mproj(gate * mproj(h, "w_up"), "w_down")
         x = x + psum_tp(ffn)
         return (x, cache), None
 
     (x, kv_cache), _ = jax.lax.scan(
         layer_step, (x, cache2),
-        (jnp.arange(L, dtype=jnp.int32), params["layers"]))
+        (jnp.arange(L, dtype=jnp.int32), layers_scanned))
 
     x = rms_norm(x, params["final_norm"], eps)
 

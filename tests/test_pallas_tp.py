@@ -81,6 +81,44 @@ def test_pallas_under_tp2_matches_jnp(monkeypatch):
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-4)
 
 
+def test_int4_fused_model_path_tp2(monkeypatch):
+    """quant=int4 + use_pallas routes every projection through the fused
+    dequant-matmul kernel (ops/int4_matmul) inside a tp=2 shard_map; logits
+    must match the XLA two-half-dot path on the same quantized weights."""
+    mc = ALIGNED
+    def run(use_pallas):
+        monkeypatch.setenv("SWIFTLLM_PALLAS_INTERPRET", "1")
+        ec = EngineConfig(model_path="", use_dummy=True, dtype="float32",
+                          quant="int4",
+                          block_size=16, num_hbm_blocks=32, num_cpu_blocks=0,
+                          max_blocks_per_seq=8, max_batch_size=8,
+                          max_tokens_in_batch=64, prefill_chunk_size=32,
+                          max_seqs_in_block_table=16,
+                          tp_size=2, use_pallas=use_pallas)
+        model = LlamaModel(ec, mc)
+        model.load_weights()
+        model.init_kvcache_and_swap()
+        r = Request(RawRequest("", 3))
+        r.set_prompt_token_ids([(i * 13) % mc.vocab_size for i in range(20)])
+        r.seq_id = 0
+        tokens, rows, logits = model.forward([ScheduledSeq(r, 20)],
+                                             return_logits=True)
+        out = [logits[0]]
+        r.output_token_ids.append(int(tokens[0]))
+        r.num_cached_tokens += 20
+        for _ in range(2):
+            tokens, rows, logits = model.forward([ScheduledSeq(r, 1)],
+                                                 return_logits=True)
+            out.append(logits[0])
+            r.output_token_ids.append(int(tokens[0]))
+            r.num_cached_tokens += 1
+        return np.stack(out)
+
+    got = run(True)
+    ref = run(False)
+    np.testing.assert_allclose(got, ref, atol=5e-4, rtol=5e-4)
+
+
 def test_pallas_misaligned_shard_falls_back(monkeypatch):
     """Head shapes below the 128-lane tile at tp=2: use_pallas=True must
     still work (static jnp fallback), and agree with the explicit jnp run."""
