@@ -594,10 +594,20 @@ def _decode_kernel_grouped(
 
 def _tiles_kernel(
     *refs,
-    page_size, tile_q, chunk_pages, sm_scale, n_q, n_kv, hd, W, hdp,
+    page_size, span, align, chunk_pages, sm_scale, n_q, n_kv, hd, W, hdp,
     staged=False,
 ):
     """Prefill/mixed tile attention, heads batched per KV head.
+
+    ``span`` q rows are processed per grid step — up to 4 builder tiles
+    (``align`` = tile_q_for(q_bucket), the only alignment the batch builder
+    guarantees). Each span streams its KV ONCE: with the old one-tile-per-step
+    geometry every 128-row tile re-streamed the row's whole history, so DMA
+    traffic and per-chunk fixed costs multiplied by tiles x chunks — the
+    measured cause of prefill sitting at 0.46 of the compute roofline in r2.
+    Chunk granularity (>=256 tokens) already rounded each tile's causal KV
+    bound up, so fusing <=4 adjacent tiles adds at most one chunk of masked
+    score FLOPs per span while dividing the KV traffic by the fused count.
 
     q arrives HEAD-MAJOR with the head dim padded to a full 128-lane tile
     ([n_q, T, hdp], an XLA transpose+pad at the call site — Mosaic requires
@@ -628,7 +638,7 @@ def _tiles_kernel(
     chunk = chunk_pages * page_size
     group = n_q // n_kv
     KH = n_kv * hd
-    NG = group * tile_q
+    NG = group * span
     q_len = q_lens_ref[b]
     seq_len = seq_lens_ref[b]
     q_start = q_starts_ref[b]
@@ -640,7 +650,7 @@ def _tiles_kernel(
         cache_hbm, layer_ref[0], pt_read, kv_buf, kv_sems,
         page_size=page_size, chunk_pages=chunk_pages)
 
-    @pl.when((q_len > t * tile_q) & (seq_len > 0))
+    @pl.when((q_len > t * span) & (seq_len > 0))
     def _run():
         if staged:
             @pl.when(t == 0)   # stage THIS row's page list once per row
@@ -648,14 +658,16 @@ def _tiles_kernel(
                 cp = pltpu.make_async_copy(pt_hbm.at[b], pt_smem, pt_sem)
                 cp.start()
                 cp.wait()
-        # Spans are tile-aligned by the builder, so this offset is aligned.
-        tile_start = pl.multiple_of(q_start + t * tile_q, tile_q)
+        # Row starts are ALIGN-aligned by the builder (span is a multiple of
+        # align, so span offsets preserve it); q/o are span-overshoot-padded
+        # at the call site so the fixed-size DMA never reads past the array.
+        tile_start = pl.multiple_of(q_start + t * span, align)
         q_dma = pltpu.make_async_copy(
-            q_hbm.at[:, pl.ds(tile_start, tile_q), :], q_buf, q_sem)
+            q_hbm.at[:, pl.ds(tile_start, span), :], q_buf, q_sem)
         q_dma.start()
 
-        # Causal upper bound on the KV this tile can see.
-        kv_needed = jnp.minimum(seq_len, seq_len - q_len + (t + 1) * tile_q)
+        # Causal upper bound on the KV this span can see.
+        kv_needed = jnp.minimum(seq_len, seq_len - q_len + (t + 1) * span)
         num_chunks = pl.cdiv(kv_needed, chunk)
         pages_needed = pl.cdiv(kv_needed, page_size)
 
@@ -664,13 +676,13 @@ def _tiles_kernel(
         q4 = q_buf[...]                 # [n_q, tile_q, hdp]
 
         def qh_rows(h):
-            """KV head h's GQA group stacked on sublanes: [group*tile_q, hd]."""
+            """KV head h's GQA group stacked on sublanes: [group*span, hd]."""
             return jnp.concatenate(
                 [q4[h * group + j][:, :hd] for j in range(group)], axis=0)
 
-        # Query position of stacked row i: its tile position is i % tile_q.
-        q_pos = (seq_len - q_len + t * tile_q
-                 + jax.lax.broadcasted_iota(jnp.int32, (NG, 1), 0) % tile_q)
+        # Query position of stacked row i: its span position is i % span.
+        q_pos = (seq_len - q_len + t * span
+                 + jax.lax.broadcasted_iota(jnp.int32, (NG, 1), 0) % span)
 
         m0 = jnp.full((n_kv, NG, 1), NEG_INF, jnp.float32)
         l0 = jnp.zeros((n_kv, NG, 1), jnp.float32)
@@ -740,9 +752,9 @@ def _tiles_kernel(
                 out_h = jnp.pad(out_h, ((0, 0), (0, hdp - hd)))
             for j in range(group):
                 o_buf[h * group + j] = out_h[
-                    j * tile_q:(j + 1) * tile_q].astype(o_buf.dtype)
+                    j * span:(j + 1) * span].astype(o_buf.dtype)
         o_dma = pltpu.make_async_copy(
-            o_buf, o_hbm.at[:, pl.ds(tile_start, tile_q), :], o_sem)
+            o_buf, o_hbm.at[:, pl.ds(tile_start, span), :], o_sem)
         o_dma.start()
         o_dma.wait()
 
@@ -976,9 +988,27 @@ def ragged_paged_attention(q, cache3, layer, batch, *, n_kv: int,
         extra_in = []
         extra_scratch = []
 
+    # Span selection: fuse up to 4 builder tiles per grid step (each span
+    # streams its KV once — see _tiles_kernel) subject to a VMEM budget for
+    # the span-sized q/o staging and fp32 online-softmax state. ~10 MiB keeps
+    # the kernel, KV double-buffers and compiler temps inside the ~16 MiB
+    # physical VMEM.
+    span = tile_q
+    per_row = n_q * hdp * 2 * jnp.dtype(q.dtype).itemsize + n_q * hd * 4
+    for mult in (4, 2):
+        cand = tile_q * mult
+        if cand <= q_bucket and cand * per_row <= 10 * 1024 * 1024:
+            span = cand
+            break
+    # The fixed-size span DMA can overshoot a short row's tile-aligned
+    # allotment into (and past) the following rows; pad q/o so the overshoot
+    # stays in-bounds (the overshot rows are causally masked).
+    T_pad = T + (span - tile_q)
+    T_pad = cdiv(T_pad, tile_q) * tile_q
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=len(scalars),
-        grid=(B, cdiv(q_bucket, tile_q)),
+        grid=(B, cdiv(q_bucket, span)),
         in_specs=[
             # Explicit HBM: with pl.ANY the compiler may promote small arrays
             # to VMEM, where unaligned slices are illegal.
@@ -987,30 +1017,31 @@ def ragged_paged_attention(q, cache3, layer, batch, *, n_kv: int,
         ] + extra_in,
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
-            pltpu.VMEM((n_q, tile_q, hdp), q.dtype),                        # q_buf
+            pltpu.VMEM((n_q, span, hdp), q.dtype),                          # q_buf
             pltpu.VMEM((2, chunk_pages * page_size, W), cache3.dtype),
-            pltpu.VMEM((n_q, tile_q, hdp), q.dtype),                        # o_buf
+            pltpu.VMEM((n_q, span, hdp), q.dtype),                          # o_buf
             pltpu.SemaphoreType.DMA,                                        # q_sem
             pltpu.SemaphoreType.DMA((2, chunk_pages)),                      # kv_sems
             pltpu.SemaphoreType.DMA,                                        # o_sem
         ] + extra_scratch,
     )
     kernel = functools.partial(
-        _tiles_kernel, page_size=page_size, tile_q=tile_q,
+        _tiles_kernel, page_size=page_size, span=span, align=tile_q,
         chunk_pages=chunk_pages, sm_scale=sm_scale, n_q=n_q, n_kv=n_kv, hd=hd,
         W=W, hdp=hdp, staged=staged)
     # Head-block-major q in / out: an XLA transpose at the boundary is a tiny
     # relayout of q-sized data; it buys the kernel group-wide sublane-stacked
     # matmuls (see _tiles_kernel).
     q_hm = jnp.swapaxes(q, 0, 1)                     # [n_q, T, hd]
-    if hdp > hd:
-        q_hm = jnp.pad(q_hm, ((0, 0), (0, 0), (0, hdp - hd)))
+    pads = ((0, 0), (0, T_pad - T), (0, hdp - hd))
+    if T_pad > T or hdp > hd:
+        q_hm = jnp.pad(q_hm, pads)
     inputs = (q_hm, cache3, pt) if staged else (q_hm, cache3)
     out3 = pl.pallas_call(
         kernel, grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_q, T, hdp), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((n_q, T_pad, hdp), q.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*scalars, *inputs)
-    return jnp.swapaxes(out3[:, :, :hd], 0, 1)
+    return jnp.swapaxes(out3[:, :T, :hd], 0, 1)

@@ -173,6 +173,23 @@ def test_large_tile_partial():
     compare(*case)
 
 
+def test_fused_span_prefill():
+    """q_bucket > 128 makes the tile kernel fuse up to 4 builder tiles per
+    grid step (span-grouped KV streaming); rows deliberately NOT span-aligned
+    so the overshoot-padded q/o path and cross-row masking are exercised."""
+    rng = np.random.default_rng(22)
+    case = make_case(rng, [(300, 300), (130, 200), (40, 41)],
+                     Pg=64, page_size=8, q_bucket=512)
+    compare(*case, max_chunk_pages=8)
+
+
+def test_fused_span_long_history():
+    # One row, several KV chunks per span, span partially filled.
+    rng = np.random.default_rng(23)
+    case = make_case(rng, [(200, 500)], Pg=64, page_size=8, q_bucket=256)
+    compare(*case, max_chunk_pages=4)
+
+
 def test_staged_page_table_decode():
     """HBM-staged page-table path (contexts beyond the SMEM scalar-prefetch
     budget): decode kernel stages each group's page lists into SMEM scratch.
