@@ -70,7 +70,14 @@ def smem_pages_cap(rows: int) -> int:
     return max(1, 1 << (cap.bit_length() - 1))
 
 
-_DECODE_R = 4   # rows per grid step of the grouped decode kernel
+def _decode_r() -> int:
+    """Rows per grid step of the grouped decode kernel. R=4 measured +16% on
+    v5e in r2 (rows share one double-block-diagonal matmul; the serial kernel
+    was issue-bound); the block-diag padding FLOPs grow as R^2, so the win
+    inverts at some R. Env-sweepable for on-chip tuning."""
+    return int(os.environ.get("SWIFTLLM_DECODE_R", "4"))
+
+
 
 
 def staged_pages_cap() -> int:
@@ -82,7 +89,7 @@ def staged_pages_cap() -> int:
     block16 / 512Ki at block32, covering the reference's 131Ki-token chart
     point (docs/assets/offline-llama-3-7b-a100.png) and its largest
     configurable context (engine_config.py:66-71: 32768 blocks x 16)."""
-    cap = (SMEM_BYTES - 2 * SMEM_HEADROOM) // (4 * 2 * _DECODE_R)
+    cap = (SMEM_BYTES - 2 * SMEM_HEADROOM) // (4 * 2 * max(_decode_r(), 4))
     return max(1, 1 << (cap.bit_length() - 1))
 
 
@@ -852,7 +859,7 @@ def ragged_paged_attention(q, cache3, layer, batch, *, n_kv: int,
         sel = jnp.where((need > 0) & (batch.q_lens[:B] > 0) & contig & fits
                         & (pow2 > 0) & (pow2 <= chunk_pages),
                         pow2, 0).astype(jnp.int32)
-        R = _DECODE_R               # rows per grid step (grouped kernel)
+        R = _decode_r()             # rows per grid step (grouped kernel)
         # B is a pow2 bucket; tiny batches (B < R) pad up to one group with
         # q_lens == 0 rows (the kernel's masked-suffix contract) so the
         # grouped kernel is the ONLY decode path.
