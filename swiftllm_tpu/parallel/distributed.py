@@ -68,6 +68,11 @@ def global_mesh(dp_size: int, tp_size: int):
 OP_STEP = 0          # one serving step (header carries the bucket key)
 OP_STEP_LOGITS = 1   # a step with return_logits=True (debug/eval path)
 OP_STOP = 2          # shut the followers down
+OP_SWAP_OUT = 3      # KV host-offload out (header[1] = payload length)
+OP_SWAP_IN = 4       # KV host-offload in  (header[1] = payload length)
+OP_SWAP_FREE = 5     # free host swap pages of dead swapped-out seqs
+
+_SWAP_OPS = (OP_SWAP_OUT, OP_SWAP_IN, OP_SWAP_FREE)
 
 _HEADER_LEN = 6      # [op, tokens, rows, pages, q_len, sampling]
 
@@ -82,12 +87,25 @@ def exchange_op(op: int = OP_STEP, bucket_key=None,
     header = np.zeros(_HEADER_LEN, np.int32)
     if is_primary():
         header[0] = op
-        if bucket_key is not None:
+        if op in _SWAP_OPS:
+            header[1] = 0 if flat_batch is None else flat_batch.shape[0]
+        elif bucket_key is not None:
             header[1:] = dataclasses.astuple(bucket_key)
     header = multihost_utils.broadcast_one_to_all(header)
     op = int(header[0])
     if op == OP_STOP:
         return op, None, None
+    if op in _SWAP_OPS:
+        # Swap ops carry a flat i32 payload (header[1] = its length) instead
+        # of a step batch: [per request: dp_group, seq_id, n_tokens, n_pages,
+        # page ids...] — every host replays the op so its host swap pool and
+        # its shard of the staged page data stay in lockstep with process 0.
+        n = int(header[1])
+        if flat_batch is None:
+            flat_batch = np.zeros(n, np.int32)
+        assert flat_batch.shape[0] == n
+        flat_batch = multihost_utils.broadcast_one_to_all(flat_batch)
+        return op, None, np.asarray(flat_batch)
     from swiftllm_tpu.worker.batch_builder import BucketKey, packed_len
     bkey = BucketKey(*[int(x) for x in header[1:]])
     # The batch buffer's length is derived from the key via the packer's own
@@ -114,6 +132,15 @@ def broadcast_step(flat_batch: np.ndarray | None, bucket_key=None, dp: int = 1,
     return flat, bkey
 
 
+def broadcast_swap(op: int, payload: np.ndarray) -> None:
+    """Primary: announce a swap op (+ its flat i32 payload) to every host.
+
+    Single-process: no-op — the caller applies the payload locally either way.
+    The payload encoding is worker/model.py's ``_encode_swap_payload``."""
+    if jax.process_count() > 1 and is_primary():
+        exchange_op(op, flat_batch=np.ascontiguousarray(payload, np.int32))
+
+
 def stop_followers():
     """Primary: release every follower from its loop (idempotent enough for
     shutdown paths — followers exit after the first STOP they see)."""
@@ -133,7 +160,14 @@ def follower_loop(model) -> None:
         op, key, flat = exchange_op(dp=model.dp)   # receive-only
         if op == OP_STOP:
             return
-        model.execute_packed(flat, key, return_logits=(op == OP_STEP_LOGITS))
+        if op == OP_SWAP_OUT:
+            model.apply_swap_out(flat)
+        elif op == OP_SWAP_IN:
+            model.apply_swap_in(flat)
+        elif op == OP_SWAP_FREE:
+            model.apply_swap_free(flat)
+        else:
+            model.execute_packed(flat, key, return_logits=(op == OP_STEP_LOGITS))
 
 
 def agree_num_blocks(num_blocks: int) -> int:

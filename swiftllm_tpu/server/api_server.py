@@ -124,12 +124,9 @@ async def main_coroutine(args: argparse.Namespace,
     # builds the same sharded model and replays the primary's broadcast steps.
     from swiftllm_tpu.parallel import distributed
     distributed.initialize()
-    import jax
-    if jax.process_count() > 1 and engine_config.num_cpu_blocks:
-        # KV host-offload is per-host-shard work; not yet supported multi-host
-        # (worker/model.py swap_out_seqs). Preemption degrades to none.
-        print("multi-host run: disabling KV host-offload (num_cpu_blocks=0)")
-        engine_config.num_cpu_blocks = 0
+    # KV host-offload works multi-host too: swap ops are broadcast over the
+    # control channel and every process stages the replicated page data into
+    # its own identical swap pool (worker/model.py swap_out_seqs).
     if not distributed.is_primary():
         from swiftllm_tpu.worker.model import LlamaModel
         model = LlamaModel(engine_config, model_config)

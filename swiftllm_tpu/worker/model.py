@@ -310,7 +310,13 @@ class LlamaModel:
                 slots = (pages[:, None] * ps
                          + jnp.arange(ps, dtype=jnp.int32)[None, :]).reshape(-1)
                 return cache[:, slots]
-            self._swap_fns[k] = jax.jit(gather)
+            # Replicated output: one all-gather over the mesh, so EVERY host
+            # holds the full page data and can stage it into its (identical)
+            # host swap pool — this is what makes host-offload work on
+            # multi-host runs, where each process can only device_get the
+            # shards its own devices hold.
+            self._swap_fns[k] = jax.jit(
+                gather, out_shardings=NamedSharding(self.mesh, P()))
         return self._swap_fns[k]
 
     def _swap_scatter_fn(self, n_pages_bucket: int):
@@ -349,37 +355,88 @@ class LlamaModel:
         return (self.engine_config.block_size * self._lanes_global()
                 * self.kv_dtype.itemsize)
 
+    @staticmethod
+    def _encode_swap_payload(entries) -> np.ndarray:
+        """[per request: dp_group, seq_id, n_tokens, n_pages, page ids...] —
+        the flat i32 wire format every host replays a swap op from
+        (parallel/distributed.py broadcast_swap)."""
+        out: list[int] = []
+        for g, seq_id, n_tokens, pages in entries:
+            out += [g, seq_id, n_tokens, len(pages)]
+            out += [int(p) for p in pages]
+        return np.asarray(out, np.int32)
+
+    @staticmethod
+    def _decode_swap_payload(payload: np.ndarray):
+        i, n = 0, len(payload)
+        while i < n:
+            g, seq_id, n_tokens, n_pages = (int(x) for x in payload[i:i + 4])
+            yield g, seq_id, n_tokens, np.asarray(payload[i + 4:i + 4 + n_pages])
+            i += 4 + n_pages
+
     def swap_out_seqs(self, requests: list[Request]):
-        assert jax.process_count() == 1, \
-            "KV host-offload on multi-host runs is not yet supported: each " \
-            "host would need to gather/stage only its addressable cache " \
-            "shard; run with num_cpu_blocks=0"
+        """Offload whole sequences' KV pages to the host swap pool. On
+        multi-host runs the op is broadcast so every process stages the
+        (replicated) gathered page data into its own identical swap pool —
+        the reference is single-GPU (model.py:361-399); this is the SPMD
+        version of its swap_blocks path."""
+        payload = self._encode_swap_payload(
+            [(r.dp_group, r.seq_id, r.num_cached_tokens,
+              self._global_pages(r.dp_group,
+                                 self.hbm_block_mgrs[r.dp_group]
+                                 .seq_block_ids(r.seq_id)))
+             for r in requests])
+        if jax.process_count() > 1:
+            from swiftllm_tpu.parallel.distributed import (OP_SWAP_OUT,
+                                                           broadcast_swap)
+            broadcast_swap(OP_SWAP_OUT, payload)
+        self.apply_swap_out(payload)
+        for r in requests:   # control-plane page accounting (primary only)
+            self.hbm_block_mgrs[r.dp_group].free_seq(r.seq_id)
+
+    def apply_swap_out(self, payload: np.ndarray):
+        """Every host: gather the pages from the (sharded) device cache and
+        stage them into the host swap pool. Page ids come from the payload,
+        NOT the block managers — followers don't track HBM pages."""
         from swiftllm_tpu.native import copy_pages
         cpu = self.cpu_block_mgr
-        for r in requests:
-            g = r.dp_group
-            hbm = self.hbm_block_mgrs[g]
-            src_pages = self._global_pages(g, hbm.seq_block_ids(r.seq_id))
-            dst_pages = cpu.allocate_fresh_for_seq(self._cpu_key(r),
-                                                   r.num_cached_tokens)
+        smax = self.engine_config.max_seqs_in_block_table
+        for g, seq_id, n_tokens, src_pages in self._decode_swap_payload(payload):
+            dst_pages = cpu.allocate_fresh_for_seq(g * smax + seq_id, n_tokens)
             padded, n = self._pad_pages(
                 src_pages, int(self._global_pages(g, self.num_blocks_per_shard)))
-            data = self._swap_gather_fn(len(padded))(self.kv_cache, jnp.asarray(padded))
+            # numpy in: jit replicates host-local values onto the (possibly
+            # multi-host) mesh — every process passes identical bytes.
+            data = self._swap_gather_fn(len(padded))(self.kv_cache, padded)
             data = np.ascontiguousarray(jax.device_get(data))
             # Host scatter staging→swap-cache: native run-coalesced memcpy.
             copy_pages(self.cpu_cache, data, dst_pages,
                        np.arange(n, dtype=np.int32), self._page_bytes())
-            hbm.free_seq(r.seq_id)
 
     def swap_in_seqs(self, requests: list[Request]):
+        """Restore swapped-out sequences into HBM pages. The primary allocates
+        the destination pages (it owns the HBM block managers) and broadcasts
+        them; every host scatters its identical staged data back."""
+        payload = self._encode_swap_payload(
+            [(r.dp_group, r.seq_id, r.num_cached_tokens,
+              self.hbm_block_mgrs[r.dp_group]
+              .allocate_fresh_for_seq(r.seq_id, r.num_cached_tokens))
+             for r in requests])
+        if jax.process_count() > 1:
+            from swiftllm_tpu.parallel.distributed import (OP_SWAP_IN,
+                                                           broadcast_swap)
+            broadcast_swap(OP_SWAP_IN, payload)
+        self.apply_swap_in(payload)
+
+    def apply_swap_in(self, payload: np.ndarray):
+        """Every host: stage swap-pool pages back and scatter into the device
+        cache (payload pages are group-LOCAL destination page ids)."""
         from swiftllm_tpu.native import copy_pages
         cfg = self.engine_config
         cpu = self.cpu_block_mgr
-        for r in requests:
-            g = r.dp_group
-            hbm = self.hbm_block_mgrs[g]
-            src_pages = cpu.seq_block_ids(self._cpu_key(r)).copy()
-            dst_local = hbm.allocate_fresh_for_seq(r.seq_id, r.num_cached_tokens)
+        smax = cfg.max_seqs_in_block_table
+        for g, seq_id, n_tokens, dst_local in self._decode_swap_payload(payload):
+            src_pages = cpu.seq_block_ids(g * smax + seq_id).copy()
             padded, n = self._pad_pages(
                 self._global_pages(g, dst_local),
                 int(self._global_pages(g, self.num_blocks_per_shard)))
@@ -391,8 +448,8 @@ class LlamaModel:
             copy_pages(pad_data, self.cpu_cache,
                        np.arange(n, dtype=np.int32), src_pages, self._page_bytes())
             self.kv_cache = self._swap_scatter_fn(len(padded))(
-                self.kv_cache, jnp.asarray(padded), jnp.asarray(pad_data))
-            cpu.free_seq(self._cpu_key(r))
+                self.kv_cache, padded, pad_data)
+            cpu.free_seq(g * smax + seq_id)
 
     def free_seqs_resources(self, requests: list[Request]):
         """Release all pages of finished sequences (reference model.py:401-408)."""
@@ -400,7 +457,19 @@ class LlamaModel:
             self.hbm_block_mgrs[r.dp_group].free_seq(r.seq_id)
 
     def free_swap_resources(self, requests: list[Request]):
-        """Release the host swap pages of requests that died while swapped out."""
-        if self.cpu_block_mgr is not None:
-            for r in requests:
-                self.cpu_block_mgr.free_seq(self._cpu_key(r))
+        """Release the host swap pages of requests that died while swapped out
+        (broadcast on multi-host so every pool replica frees in lockstep)."""
+        if self.cpu_block_mgr is None or not requests:
+            return
+        payload = self._encode_swap_payload(
+            [(r.dp_group, r.seq_id, 0, ()) for r in requests])
+        if jax.process_count() > 1:
+            from swiftllm_tpu.parallel.distributed import (OP_SWAP_FREE,
+                                                           broadcast_swap)
+            broadcast_swap(OP_SWAP_FREE, payload)
+        self.apply_swap_free(payload)
+
+    def apply_swap_free(self, payload: np.ndarray):
+        smax = self.engine_config.max_seqs_in_block_table
+        for g, seq_id, _, _ in self._decode_swap_payload(payload):
+            self.cpu_block_mgr.free_seq(g * smax + seq_id)

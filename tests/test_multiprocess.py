@@ -42,7 +42,7 @@ mc = LlamaModelConfig(num_layers=2, num_q_heads=8, num_kv_heads=4,
                       rms_norm_eps=1e-5)
 ec = EngineConfig(model_path="", use_dummy=True, block_size=16,
                   max_tokens_in_batch=128, max_blocks_per_seq=16,
-                  num_hbm_blocks=32, num_cpu_blocks=0, prefill_chunk_size=32,
+                  num_hbm_blocks=32, num_cpu_blocks=8, prefill_chunk_size=32,
                   max_batch_size=4, max_seqs_in_block_table=64,
                   use_pallas=False, dp_size=2, tp_size=2,
                   compilation_cache_dir="")
@@ -67,6 +67,19 @@ if distributed.is_primary():
     groups2 = [[ScheduledSeq(s.request, 1) for s in g] for g in groups]
     tokens2, _ = model.forward([s for g in groups2 for s in g], groups=groups2)
     print("TOKENS1", np.asarray(tokens2)[:8].tolist(), flush=True)
+    # KV host-offload round-trip under multi-host: swap group 0's sequence
+    # out to every process's swap pool and back, then decode one more step —
+    # both hosts must still agree (the swap ops ride the same op channel).
+    for g in groups2:
+        for s in g:
+            s.request.num_cached_tokens += s.n_tokens
+            s.request.output_token_ids.append(None)
+    r0 = groups2[0][0].request
+    model.swap_out_seqs([r0])
+    model.swap_in_seqs([r0])
+    groups3 = [[ScheduledSeq(s.request, 1) for s in g] for g in groups2]
+    tokens3, _ = model.forward([s for g in groups3 for s in g], groups=groups3)
+    print("TOKENS2", np.asarray(tokens3)[:8].tolist(), flush=True)
     distributed.stop_followers()
 else:
     i = 0
@@ -74,6 +87,14 @@ else:
         op, key, flat = distributed.exchange_op(dp=model.dp)
         if op == distributed.OP_STOP:
             break
+        if op == distributed.OP_SWAP_OUT:
+            model.apply_swap_out(flat)
+            print("SWAPPED_OUT", flush=True)
+            continue
+        if op == distributed.OP_SWAP_IN:
+            model.apply_swap_in(flat)
+            print("SWAPPED_IN", flush=True)
+            continue
         toks = model.execute_packed(flat, key)
         print(f"TOKENS{i}", np.asarray(jax.device_get(toks))[:8].tolist(),
               flush=True)
