@@ -154,6 +154,8 @@ class LlamaModelConfig:
     tie_word_embeddings: bool = False
     bos_token_id: int | None = None
     eos_token_id: int | list[int] | None = None
+    # Qwen2-style additive bias on the q/k/v projections (no o/mlp bias).
+    qkv_bias: bool = False
 
     def __post_init__(self):
         assert self.num_q_heads % self.num_kv_heads == 0
@@ -171,8 +173,15 @@ class LlamaModelConfig:
 
     @staticmethod
     def from_hf_dict(cfg: dict) -> "LlamaModelConfig":
-        assert cfg.get("model_type", "llama") == "llama", \
-            f"only llama-family models are supported, got {cfg.get('model_type')}"
+        model_type = cfg.get("model_type", "llama")
+        assert model_type in ("llama", "qwen2", "mistral"), \
+            f"unsupported model family {model_type!r} (llama/qwen2/mistral)"
+        if model_type == "mistral" and cfg.get("sliding_window"):
+            # Mistral v0.1 sliding-window attention isn't implemented; v0.3+
+            # configs set sliding_window to null and are plain llama-style.
+            assert cfg["sliding_window"] >= cfg.get(
+                "max_position_embeddings", 1 << 62), \
+                "mistral sliding_window attention is not supported"
         assert cfg.get("hidden_act", "silu") == "silu"
         hidden = cfg["hidden_size"]
         n_q = cfg["num_attention_heads"]
@@ -191,6 +200,10 @@ class LlamaModelConfig:
             tie_word_embeddings=cfg.get("tie_word_embeddings", False),
             bos_token_id=cfg.get("bos_token_id"),
             eos_token_id=cfg.get("eos_token_id"),
+            # Qwen2 always carries qkv bias; llama-arch checkpoints may opt in
+            # via HF's attention_bias flag.
+            qkv_bias=(model_type == "qwen2"
+                      or bool(cfg.get("attention_bias", False))),
         )
 
     @staticmethod

@@ -432,9 +432,15 @@ def forward_shard(
         h = rms_norm(x, w["attn_norm"], eps)
         n_q_l = out_features(wfor("wq")) // hd
         n_kv_l = out_features(wfor("wk")) // hd
-        q = mproj(h, "wq").reshape(T, n_q_l, hd)
-        k = mproj(h, "wk").reshape(T, n_kv_l, hd)
-        v = mproj(h, "wv").reshape(T, n_kv_l, hd)
+        def biased(y, bias_name):
+            """Qwen2-style projection bias (sharded with the output axis)."""
+            if bias_name in w:
+                y = y + w[bias_name].astype(y.dtype)[None, :]
+            return y
+
+        q = biased(mproj(h, "wq"), "bq").reshape(T, n_q_l, hd)
+        k = biased(mproj(h, "wk"), "bk").reshape(T, n_kv_l, hd)
+        v = biased(mproj(h, "wv"), "bv").reshape(T, n_kv_l, hd)
         q = apply_rope(q, batch.positions, inv_freq)
         k = apply_rope(k, batch.positions, inv_freq)
 
@@ -536,7 +542,8 @@ def make_step_fn(mesh, cfg: LlamaModelConfig, *, page_size: int, q_bucket: int,
 
     quantized_lm_head = quant != "none" and not cfg.tie_word_embeddings
 
-    PARAM_SPECS = param_specs(quant, quantized_lm_head=quantized_lm_head)
+    PARAM_SPECS = param_specs(quant, quantized_lm_head=quantized_lm_head,
+                              qkv_bias=cfg.qkv_bias)
     # Tokens come out replicated (all-gathered over dp inside forward_shard).
     out_specs = ((P(), KV_CACHE_SPEC, FEEDBACK_SPEC)
                  + ((P(AXIS_DP, None),) if return_logits else ()))

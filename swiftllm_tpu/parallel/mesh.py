@@ -69,19 +69,27 @@ KV_CACHE_SPEC = P(None, AXIS_DP, AXIS_TP)
 GEMM_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
 
 
-def param_specs(quant: str = "none", quantized_lm_head: bool = False) -> dict:
+def param_specs(quant: str = "none", quantized_lm_head: bool = False,
+                qkv_bias: bool = False) -> dict:
     """PARAM_SPECS adjusted for the weight-quantization storage format.
 
     quantized_lm_head: the untied lm_head is stored quantized in its [V, D]
     ([out, in]) layout (vocab stays the tp-sharded axis); tied-embedding
-    models keep the plain [V, D] embedding for both roles."""
-    if quant == "none":
+    models keep the plain [V, D] embedding for both roles.
+    qkv_bias: Qwen2-style [L, out] additive biases, sharded like their
+    projections' output axes (kept in the activation dtype under quant)."""
+    if quant == "none" and not qkv_bias:
         return PARAM_SPECS
-    from swiftllm_tpu.worker.quant import spec_for_quantized
     specs = dict(PARAM_SPECS)
-    specs["layers"] = {
-        k: (spec_for_quantized(v, quant) if k in GEMM_KEYS else v)
-        for k, v in PARAM_SPECS["layers"].items()}
+    layers = dict(PARAM_SPECS["layers"])
+    if quant != "none":
+        from swiftllm_tpu.worker.quant import spec_for_quantized
+        layers = {k: (spec_for_quantized(v, quant) if k in GEMM_KEYS else v)
+                  for k, v in layers.items()}
+    if qkv_bias:
+        layers.update(bq=P(None, AXIS_TP), bk=P(None, AXIS_TP),
+                      bv=P(None, AXIS_TP))
+    specs["layers"] = layers
     if quantized_lm_head:
         q_key = "q" if quant == "int8" else "q4"
         specs["lm_head"] = {q_key: P(AXIS_TP, None), "s": P(AXIS_TP)}

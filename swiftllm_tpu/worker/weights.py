@@ -61,7 +61,8 @@ def _dummy_params_on_device(engine_config: EngineConfig,
     tied = mc.tie_word_embeddings
 
     shardings = named(mesh, param_specs(
-        quant, quantized_lm_head=(quant != "none" and not tied)))
+        quant, quantized_lm_head=(quant != "none" and not tied),
+        qkv_bias=mc.qkv_bias))
 
     counter = [0]
 
@@ -100,6 +101,9 @@ def _dummy_params_on_device(engine_config: EngineConfig,
             "w_up": gemm((L, F, D)),
             "w_down": gemm((L, D, F)),
         }
+        if mc.qkv_bias:   # Qwen2-style additive q/k/v biases
+            layers.update(bq=w((L, nq * hd)), bk=w((L, nkv_eff * hd)),
+                          bv=w((L, nkv_eff * hd)))
         embed = w((Vp, D))
         if tied:
             lm_head = embed
@@ -225,6 +229,11 @@ def load_params(engine_config: EngineConfig, model_config: LlamaModelConfig,
         "w_up": ("model.layers.{i}.mlp.up_proj.weight", (F, D), True),
         "w_down": ("model.layers.{i}.mlp.down_proj.weight", (D, F), True),
     }
+    if mc.qkv_bias:   # Qwen2: q/k/v carry biases (o/mlp do not)
+        layer_names.update(
+            bq=("model.layers.{i}.self_attn.q_proj.bias", (nq * hd,), False),
+            bk=("model.layers.{i}.self_attn.k_proj.bias", (nkv * hd,), False),
+            bv=("model.layers.{i}.self_attn.v_proj.bias", (nkv * hd,), False))
 
     quant = engine_config.quant
     layers = {}
@@ -250,6 +259,11 @@ def load_params(engine_config: EngineConfig, model_config: LlamaModelConfig,
             w = layers[key].reshape(-1, nkv, hd, D)
             layers[key] = np.ascontiguousarray(
                 np.repeat(w, rep, axis=1).reshape(-1, nkv_eff * hd, D))
+        for key in ("bk", "bv"):
+            if key in layers:
+                b = layers[key].reshape(-1, nkv, hd)
+                layers[key] = np.ascontiguousarray(
+                    np.repeat(b, rep, axis=1).reshape(-1, nkv_eff * hd))
 
     # Weight-only quantization at load time (none | int8 | int4), applied
     # layer-by-layer: a whole-stack f32 working copy of an 8B projection is
@@ -292,5 +306,6 @@ def load_params(engine_config: EngineConfig, model_config: LlamaModelConfig,
     }
 
     shardings = named(mesh, param_specs(
-        quant, quantized_lm_head=isinstance(lm_head, dict)))
+        quant, quantized_lm_head=isinstance(lm_head, dict),
+        qkv_bias=mc.qkv_bias))
     return jax.tree.map(lambda arr, s: jax.device_put(arr, s), host_params, shardings)
