@@ -49,6 +49,9 @@ class EngineConfig:
     prefill_chunk_size: int = 512      # SARATHI chunk; prompts longer than this are
                                        # prefilled over several steps, piggybacked on decodes
     enable_chunked_prefill: bool = True
+    enable_prefix_caching: bool = False   # share identical full prompt pages
+                                          # across requests (beyond-reference;
+                                          # see worker/block_manager.py)
 
     # --- static-shape bucketing (XLA compiles one program per bucket tuple) ---
     token_buckets: tuple[int, ...] = ()      # default derived: pow2 from 16 .. max_tokens_in_batch

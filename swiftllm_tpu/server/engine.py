@@ -90,6 +90,8 @@ class Engine:
         self.scheduler = Scheduler(self.model_config, cfg,
                                    self.model.num_hbm_blocks,
                                    dp_size=self.model.dp)
+        if cfg.enable_prefix_caching:
+            self.scheduler.prefix_matcher = self.model.match_prefix
         self.tokenizer = TokenizationEngine(
             cfg.model_path, backend=tokenizer_backend, use_dummy=cfg.use_dummy,
             vocab_size=self.model_config.vocab_size)

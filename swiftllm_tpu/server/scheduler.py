@@ -96,6 +96,11 @@ class Scheduler:
         # slots), so each group recycles its own id space.
         self.id_managers = [RequestIdManager(engine_config.max_seqs_in_block_table)
                             for _ in range(self.dp)]
+        # Automatic prefix caching: the engine injects model.match_prefix
+        # here. Called at admission (seq_id/dp_group just assigned, strictly
+        # before the step batch is built) so the first scheduled chunk covers
+        # only the uncached prompt tail.
+        self.prefix_matcher = None
 
     # --- dp == 1 compatibility views (reference-shaped API) ---------------------
     @property
@@ -376,6 +381,12 @@ class Scheduler:
             self.waiting_q.popleft()
             cand.dp_group = g
             cand.seq_id = self.id_managers[g].get_id()
+            if self.prefix_matcher is not None:
+                # Prefix-cache hit: tokens already cached shrink the first
+                # chunk (admission checks above used the unmatched length —
+                # conservative, still fits).
+                self.prefix_matcher(cand)
+                n = min(cand.num_uncached_tokens(), cfg.prefill_chunk_size)
             self.running_qs[g].append(cand)
             groups[g].append(ScheduledSeq(cand, n))
             self._group_state[g]["pre_padded"] += (
@@ -403,7 +414,9 @@ class Scheduler:
                     self.waiting_q.popleft()
                     cand.dp_group = 0
                     cand.seq_id = self.id_managers[0].get_id()
-                    cur.append(ScheduledSeq(cand, cand.prompt_len))
+                    if self.prefix_matcher is not None:
+                        self.prefix_matcher(cand)
+                    cur.append(ScheduledSeq(cand, cand.num_uncached_tokens()))
                     cur_blocks += need
                     cur_tokens += cand.prompt_len
                 else:

@@ -210,6 +210,10 @@ def build_step_batch(
             n = s.n_tokens
             start, end = r.num_cached_tokens, r.num_cached_tokens + n
             mgr.allocate_for_seq(r.seq_id, end)
+            if mgr.prefix_caching and end <= r.prompt_len:
+                # Prompt pages this chunk fills become matchable by requests
+                # admitted at the NEXT scheduling round (never this step's).
+                mgr.register_prefix(r.seq_id, r.prompt_token_ids, end)
             pages = mgr.seq_block_ids(r.seq_id)
             npages = len(pages)
             assert npages <= Pg, f"seq {r.seq_id} has {npages} pages > bucket {Pg}"

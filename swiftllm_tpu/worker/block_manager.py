@@ -21,7 +21,8 @@ from swiftllm_tpu.utils import cdiv
 
 class BlockManager:
     def __init__(self, tier: str, num_blocks: int, block_size: int,
-                 max_seqs: int, max_blocks_per_seq: int):
+                 max_seqs: int, max_blocks_per_seq: int,
+                 enable_prefix_caching: bool = False):
         self.tier = tier
         self.num_blocks = num_blocks
         self.block_size = block_size
@@ -34,10 +35,26 @@ class BlockManager:
         self.block_table = np.zeros((max_seqs, max_blocks_per_seq), dtype=np.int32)
         self.num_seq_allocated_blocks = np.zeros(max_seqs, dtype=np.int32)
 
+        # --- automatic prefix caching (opt-in; beyond the reference) ---------
+        # Radix-style map of FULL prompt pages: key = (parent page id | -1,
+        # tuple of the page's token ids) → page id. Keying on the PARENT PAGE
+        # ID instead of the whole prefix keeps keys O(block_size) and
+        # collision-free (a page id sits under exactly one content chain at a
+        # time; its descendants' keys are dropped when it is evicted).
+        # Pages carry refcounts; retired pages (rc=0) keep their KV data and
+        # stay matchable in an LRU pool until allocation pressure evicts them.
+        self.prefix_caching = enable_prefix_caching
+        self._prefix_map: dict[tuple, int] = {}
+        self._page_key: dict[int, tuple] = {}
+        self._page_children: dict[int, set[int]] = {}
+        self._page_rc: dict[int, int] = {}
+        self._lru: dict[int, None] = {}   # insertion-ordered; oldest first
+
     # --- queries -------------------------------------------------------------
     @property
     def num_free_blocks(self) -> int:
-        return len(self._free_stack)
+        # Retired-but-cached pages are reclaimable on demand: count them free.
+        return len(self._free_stack) + len(self._lru)
 
     def get_num_allocated_blocks(self, seq_id: int) -> int:
         return int(self.num_seq_allocated_blocks[seq_id])
@@ -47,6 +64,110 @@ class BlockManager:
 
     def blocks_needed_for_len(self, seq_len: int) -> int:
         return cdiv(seq_len, self.block_size)
+
+    # --- prefix-cache internals ------------------------------------------------
+    def _unlink_key(self, page: int):
+        """Drop ``page``'s map key and (iteratively — chains can be thousands
+        of pages) every descendant's: a key chains through its parent's page
+        id, so content below an evicted page is no longer addressable.
+        Retired keyless descendants are plain free pages; move them to the
+        stack."""
+        stack = [page]
+        while stack:
+            p = stack.pop()
+            key = self._page_key.pop(p, None)
+            if key is not None:
+                self._prefix_map.pop(key, None)
+                parent = key[0]
+                if parent >= 0:
+                    ch = self._page_children.get(parent)
+                    if ch:
+                        ch.discard(p)
+            for c in self._page_children.pop(p, ()):
+                stack.append(c)
+                if c in self._lru:
+                    del self._lru[c]
+                    self._free_stack.append(c)
+
+    def _pop_free_page(self) -> int:
+        if self._free_stack:
+            p = self._free_stack.pop()
+        else:   # reclaim the least-recently-retired cached page
+            p = next(iter(self._lru))
+            del self._lru[p]
+            self._unlink_key(p)
+        self._page_rc[p] = 1
+        return p
+
+    def _release_page(self, p: int):
+        rc = self._page_rc.get(p, 1) - 1
+        if rc > 0:
+            self._page_rc[p] = rc
+            return
+        self._page_rc.pop(p, None)
+        if p in self._page_key:   # retired but matchable: park in the LRU
+            self._lru[p] = None
+        else:
+            self._free_stack.append(p)
+
+    def match_prefix(self, seq_id: int, token_ids: list[int]) -> int:
+        """Install the longest cached chain of FULL prompt pages into
+        ``seq_id``'s (empty) page list. Returns the number of prompt tokens
+        thereby already cached — always < len(token_ids), so at least one
+        token of real prefill remains to produce next-token logits."""
+        if not self.prefix_caching:
+            return 0
+        assert self.num_seq_allocated_blocks[seq_id] == 0
+        ps = self.block_size
+        usable = min((len(token_ids) - 1) // ps, self.max_blocks_per_seq)
+        parent, matched = -1, []
+        for i in range(usable):
+            page = self._prefix_map.get(
+                (parent, tuple(token_ids[i * ps:(i + 1) * ps])))
+            if page is None:
+                break
+            matched.append(page)
+            parent = page
+        if not matched:
+            return 0
+        for p in matched:
+            rc = self._page_rc.get(p, 0)
+            if rc == 0:   # retired: revive from the LRU pool
+                del self._lru[p]
+            self._page_rc[p] = rc + 1
+        self.block_table[seq_id, :len(matched)] = matched
+        self.num_seq_allocated_blocks[seq_id] = len(matched)
+        return len(matched) * ps
+
+    def register_prefix(self, seq_id: int, token_ids: list[int], upto: int):
+        """Make ``seq_id``'s full prompt pages (tokens [0, upto) are written
+        as of the step just dispatched) matchable by future requests. Safe
+        because matching happens at ADMISSION, strictly before the next
+        step's batch is built — a page is never read by one sequence in the
+        same step another writes it."""
+        if not self.prefix_caching:
+            return
+        ps = self.block_size
+        full = min(upto, len(token_ids)) // ps
+        pages = self.block_table[seq_id]
+        parent = -1
+        for i in range(full):
+            p = int(pages[i])
+            if p in self._page_key:   # already registered (matched or earlier chunk)
+                parent = p
+                continue
+            key = (parent, tuple(token_ids[i * ps:(i + 1) * ps]))
+            other = self._prefix_map.get(key)
+            if other is not None:
+                # Identical content raced in another sequence's pages this
+                # step; keep the canonical page and chain below it.
+                parent = other
+                continue
+            self._prefix_map[key] = p
+            self._page_key[p] = key
+            if parent >= 0:
+                self._page_children.setdefault(parent, set()).add(p)
+            parent = p
 
     # --- mutation --------------------------------------------------------------
     def allocate_for_seq(self, seq_id: int, target_len: int):
@@ -60,23 +181,26 @@ class BlockManager:
         grow = need - have
         if grow <= 0:
             return
-        if grow > len(self._free_stack):
+        if grow > self.num_free_blocks:
             raise RuntimeError(
-                f"[{self.tier}] out of KV pages: need {grow}, free {len(self._free_stack)} "
+                f"[{self.tier}] out of KV pages: need {grow}, free {self.num_free_blocks} "
                 f"(seq {seq_id}, target_len {target_len})")
         if need > self.max_blocks_per_seq:
             raise RuntimeError(
                 f"[{self.tier}] seq {seq_id} needs {need} pages > max_blocks_per_seq "
                 f"{self.max_blocks_per_seq}")
         for i in range(have, need):
-            self.block_table[seq_id, i] = self._free_stack.pop()
+            self.block_table[seq_id, i] = self._pop_free_page()
         self.num_seq_allocated_blocks[seq_id] = need
 
     def free_seq(self, seq_id: int) -> np.ndarray:
-        """Release all of seq_id's pages; returns the freed page ids in order."""
+        """Release all of seq_id's pages (refcount-aware: pages shared via
+        prefix caching survive until their last holder frees them); returns
+        the page ids in order."""
         n = int(self.num_seq_allocated_blocks[seq_id])
         ids = self.block_table[seq_id, :n].copy()
-        self._free_stack.extend(int(b) for b in ids)
+        for b in ids:
+            self._release_page(int(b))
         self.num_seq_allocated_blocks[seq_id] = 0
         return ids
 

@@ -179,7 +179,8 @@ class LlamaModel:
             out_shardings=self._feedback_sharding)()
         self.hbm_block_mgrs = [
             BlockManager(f"hbm{g}", num_blocks_per_shard, cfg.block_size,
-                         cfg.max_seqs_in_block_table, cfg.max_blocks_per_seq)
+                         cfg.max_seqs_in_block_table, cfg.max_blocks_per_seq,
+                         enable_prefix_caching=cfg.enable_prefix_caching)
             for g in range(self.dp)]
         # One host swap pool shared by all dp groups; rows are keyed by
         # (dp_group, seq_id) since seq ids are per-group (see _cpu_key).
@@ -455,6 +456,17 @@ class LlamaModel:
         """Release all pages of finished sequences (reference model.py:401-408)."""
         for r in requests:
             self.hbm_block_mgrs[r.dp_group].free_seq(r.seq_id)
+
+    def match_prefix(self, request: Request) -> int:
+        """Automatic prefix caching: install cached full prompt pages into the
+        newly admitted request's page list and mark those tokens cached.
+        Called by the scheduler at admission (after seq_id/dp_group are
+        assigned, before the step batch is built)."""
+        matched = self.hbm_block_mgrs[request.dp_group].match_prefix(
+            request.seq_id, request.prompt_token_ids)
+        if matched:
+            request.num_cached_tokens = matched
+        return matched
 
     def free_swap_resources(self, requests: list[Request]):
         """Release the host swap pages of requests that died while swapped out
