@@ -74,6 +74,7 @@ async def main_async(args):
         max_tokens_in_batch=args.max_tokens_in_batch,
         prefill_chunk_size=args.prefill_chunk_size,
         max_seqs_in_block_table=max(args.max_batch_size * 4, 64),
+        enable_prefix_caching=args.enable_prefix_caching,
         use_pallas=not args.cpu)
 
     engine = Engine(ec, mc)
@@ -91,9 +92,15 @@ async def main_async(args):
     output_lens = np.clip(rng.lognormal(np.log(args.mean_output), 0.6,
                                         args.num_requests), 4, 1024).astype(int)
 
+    # --shared-prefix N: every request opens with the same N tokens (a system
+    # prompt). With --enable-prefix-caching the engine prefills those pages
+    # once; TTFT for every later request drops by ~N/prefill-throughput.
+    shared = (rng.integers(0, V, args.shared_prefix).tolist()
+              if args.shared_prefix else [])
+
     def make_raws():
         return [RawRequest("", int(output_lens[i]),
-                           prompt_token_ids=rng.integers(
+                           prompt_token_ids=shared + rng.integers(
                                0, V, int(prompt_lens[i])).tolist())
                 for i in range(args.num_requests)]
 
@@ -142,6 +149,9 @@ async def main_async(args):
                 "ref_tpot_p50_ms": round(reference_tpot_ms(rate), 1),
                 "preemptions": engine.stats.num_preemptions,
                 "steps": engine.stats.num_steps,
+                # With prefix caching, matched prompt pages never prefill:
+                # this counter falls below the submitted prompt-token total.
+                "prompt_tokens_prefilled": engine.stats.num_prompt_tokens,
             },
         }), flush=True)
     loops.cancel()
@@ -165,6 +175,10 @@ def main():
     p.add_argument("--max-batch-size", type=int, default=64)
     p.add_argument("--max-tokens-in-batch", type=int, default=2048)
     p.add_argument("--prefill-chunk-size", type=int, default=512)
+    p.add_argument("--shared-prefix", type=int, default=0,
+                   help="tokens of common prompt prefix across all requests")
+    p.add_argument("--enable-prefix-caching",
+                   type=lambda s: s.lower() in ("1", "true"), default=False)
     p.add_argument("--warmup", type=lambda s: s.lower() in ("1", "true"),
                    default=True)
     args = p.parse_args()

@@ -141,6 +141,11 @@ def _make_chunk_io(cache_hbm, layer, pt_read, kv_buf, kv_sems, *,
     sizes = [z for z in _FAST_SIZES if z <= chunk_pages]
 
     def start_chunk(b, c, slot, need, sel=None):
+        """sel: z in _FAST_SIZES = whole history in one pow2 DMA (issued at
+        chunk 0); -1 = contiguous multi-chunk rows, one static
+        chunk_pages-sized DMA per FULL chunk (per-page only for the ragged
+        tail); 0/None = per-page copies."""
+        base = c * chunk_pages
         if sel is not None:
             for z in sizes:
                 @pl.when((c == 0) & (sel == z))
@@ -152,8 +157,18 @@ def _make_chunk_io(cache_hbm, layer, pt_read, kv_buf, kv_sems, *,
                         kv_buf.at[slot, pl.ds(0, z * page_size)],
                         kv_sems.at[slot, 0],
                     ).start()
-        fallback = (sel == 0) if sel is not None else True
-        base = c * chunk_pages
+            @pl.when((sel == -1) & (base + chunk_pages <= need))
+            def _():
+                p0 = pt_read(b, base)
+                pltpu.make_async_copy(
+                    cache_hbm.at[layer, pl.ds(p0 * page_size,
+                                              chunk_pages * page_size)],
+                    kv_buf.at[slot],
+                    kv_sems.at[slot, 0],
+                ).start()
+            fallback = (sel == 0) | ((sel == -1) & (base + chunk_pages > need))
+        else:
+            fallback = True
         for j in range(chunk_pages):
             @pl.when(fallback & (base + j < need))
             def _(j=j):
@@ -174,7 +189,16 @@ def _make_chunk_io(cache_hbm, layer, pt_read, kv_buf, kv_sems, *,
                         kv_buf.at[slot, pl.ds(0, z * page_size)],
                         kv_sems.at[slot, 0],
                     ).wait()
-        fallback = (sel == 0) if sel is not None else True
+            @pl.when((sel == -1) & (base + chunk_pages <= need))
+            def _():
+                pltpu.make_async_copy(
+                    cache_hbm.at[0, pl.ds(0, chunk_pages * page_size)],
+                    kv_buf.at[slot],
+                    kv_sems.at[slot, 0],
+                ).wait()
+            fallback = (sel == 0) | ((sel == -1) & (base + chunk_pages > need))
+        else:
+            fallback = True
         for j in range(chunk_pages):
             @pl.when(fallback & (base + j < need))
             def _(j=j):
@@ -301,9 +325,17 @@ def _decode_kernel_grouped(
                                       pt_sems.at[par, r]).wait()
 
     def start_row(b, r, c, slot):
-        """Start row b's chunk-c DMAs into lane block r of kv_buf[slot]."""
+        """Start row b's chunk-c DMAs into lane block r of kv_buf[slot].
+
+        sel encodes the row's DMA shape: z in _FAST_SIZES = whole history in
+        ONE pow2-sized DMA (single-chunk rows); -1 = pages contiguous but
+        multi-chunk, so every FULL chunk is one static chunk_pages-sized DMA
+        (middle chunks read exactly the row's own pages — no over-read) and
+        only the ragged tail chunk falls back to per-page copies; 0 =
+        non-contiguous, per-page copies throughout."""
         sel = sel_ref[b]
         need = pl.cdiv(jnp.maximum(seq_lens_ref[b] - 1, 0), page_size)
+        base = c * chunk_pages
         for z in sizes:
             @pl.when((c == 0) & (sel == z))
             def _(z=z):
@@ -314,9 +346,18 @@ def _decode_kernel_grouped(
                               pl.ds(r * W, W)],
                     kv_sems.at[slot, r, 0],
                 ).start()
-        base = c * chunk_pages
+        @pl.when((sel == -1) & (base + chunk_pages <= need))
+        def _():
+            p0 = pt_read(b, r, base)
+            pltpu.make_async_copy(
+                cache_in.at[layer, pl.ds(p0 * page_size,
+                                         chunk_pages * page_size)],
+                kv_buf.at[slot, :, pl.ds(r * W, W)],
+                kv_sems.at[slot, r, 0],
+            ).start()
+        tail = (sel == 0) | ((sel == -1) & (base + chunk_pages > need))
         for j in range(chunk_pages):
-            @pl.when((sel == 0) & (base + j < need))
+            @pl.when(tail & (base + j < need))
             def _(j=j):
                 page = pt_read(b, r, base + j)
                 pltpu.make_async_copy(
@@ -329,6 +370,7 @@ def _decode_kernel_grouped(
     def wait_row(b, r, c, slot):
         sel = sel_ref[b]
         need = pl.cdiv(jnp.maximum(seq_lens_ref[b] - 1, 0), page_size)
+        base = c * chunk_pages
         for z in sizes:
             @pl.when((c == 0) & (sel == z))
             def _(z=z):
@@ -337,9 +379,16 @@ def _decode_kernel_grouped(
                     kv_buf.at[slot, pl.ds(0, z * page_size), pl.ds(r * W, W)],
                     kv_sems.at[slot, r, 0],
                 ).wait()
-        base = c * chunk_pages
+        @pl.when((sel == -1) & (base + chunk_pages <= need))
+        def _():
+            pltpu.make_async_copy(
+                cache_in.at[0, pl.ds(0, chunk_pages * page_size)],  # shape-only
+                kv_buf.at[slot, :, pl.ds(r * W, W)],
+                kv_sems.at[slot, r, 0],
+            ).wait()
+        tail = (sel == 0) | ((sel == -1) & (base + chunk_pages > need))
         for j in range(chunk_pages):
-            @pl.when((sel == 0) & (base + j < need))
+            @pl.when(tail & (base + j < need))
             def _(j=j):
                 pltpu.make_async_copy(
                     cache_in.at[0, pl.ds(0, page_size)],       # shape-only
@@ -632,12 +681,13 @@ def _tiles_kernel(
     the row's first tile — the grid is row-major (b, t), so tiles t > 0 reuse
     the staged list with no further DMAs."""
     if staged:
-        (layer_ref, q_starts_ref, q_lens_ref, seq_lens_ref,
+        (layer_ref, q_starts_ref, q_lens_ref, seq_lens_ref, sel_ref,
          q_hbm, cache_hbm, pt_hbm, o_hbm,
          q_buf, kv_buf, o_buf, q_sem, kv_sems, o_sem,
          pt_smem, pt_sem) = refs
     else:
         (layer_ref, q_starts_ref, q_lens_ref, seq_lens_ref, page_table_ref,
+         sel_ref,
          q_hbm, cache_hbm, o_hbm,
          q_buf, kv_buf, o_buf, q_sem, kv_sems, o_sem) = refs
     b = pl.program_id(0)
@@ -677,8 +727,9 @@ def _tiles_kernel(
         kv_needed = jnp.minimum(seq_len, seq_len - q_len + (t + 1) * span)
         num_chunks = pl.cdiv(kv_needed, chunk)
         pages_needed = pl.cdiv(kv_needed, page_size)
+        dma_sel = sel_ref[b]   # NB: `sel` is shadowed by the fp8 selector below
 
-        start_chunk(b, 0, 0, pages_needed)
+        start_chunk(b, 0, 0, pages_needed, dma_sel)
         q_dma.wait()
         q4 = q_buf[...]                 # [n_q, tile_q, hdp]
 
@@ -701,9 +752,10 @@ def _tiles_kernel(
 
             @pl.when(c + 1 < num_chunks)
             def _():
-                start_chunk(b, c + 1, jax.lax.rem(c + 1, 2), pages_needed)
+                start_chunk(b, c + 1, jax.lax.rem(c + 1, 2), pages_needed,
+                            dma_sel)
 
-            wait_chunk(slot, c * chunk_pages, pages_needed)
+            wait_chunk(slot, c * chunk_pages, pages_needed, dma_sel)
             kv2 = kv_buf[slot].reshape(chunk, W)
             key_pos = c * chunk + jax.lax.broadcasted_iota(
                 jnp.int32, (1, chunk), 1)
@@ -885,6 +937,12 @@ def ragged_paged_attention(q, cache3, layer, batch, *, n_kv: int,
         pt_g = (jnp.pad(batch.page_table, ((0, 0), (0, pad_pages)))
                 if pad_pages else batch.page_table)
         sel = jnp.where(sel <= chunk_pages, sel, 0)
+        # Contiguous MULTI-chunk rows (long histories): every full chunk is
+        # one static chunk_pages-sized DMA (sel = -1; the kernel's per-page
+        # path covers only the ragged tail). Middle chunks read exactly the
+        # row's own consecutive pages, so no over-read guard is needed.
+        sel = jnp.where((sel == 0) & contig & (batch.q_lens[:B] > 0)
+                        & (need > chunk_pages), -1, sel)
         q_lens_l = batch.q_lens
         seq_lens_l = batch.seq_lens
         q_rows = q[:B].reshape(B * n_q, hd)
@@ -981,17 +1039,38 @@ def ragged_paged_attention(q, cache3, layer, batch, *, n_kv: int,
     pt = (jnp.pad(batch.page_table, ((0, 0), (0, pad_pages)))
           if pad_pages else batch.page_table)
     Pg_p = pt.shape[1]
+    # Contiguous-page DMA coalescing (same sel encoding as the decode path):
+    # rows whose pages are consecutive pool pages stream each FULL chunk as
+    # one DMA (sel = -1), or the whole history as one pow2-sized DMA when it
+    # fits a single chunk (sel = pow2). Fresh-allocator prefill rows are
+    # almost always contiguous, so this removes the per-page DMA issue cost
+    # that multiplies across tiles x chunks.
+    need_t = (batch.seq_lens + page_size - 1) // page_size            # [B]
+    idx_t = jnp.arange(Pg_p - 1, dtype=jnp.int32)
+    steps_ok_t = jnp.where(idx_t[None, :] < (need_t - 1)[:, None],
+                           pt[:, 1:] == pt[:, :-1] + 1, True)
+    contig_t = jnp.all(steps_ok_t, axis=1)
+    pow2_t = jnp.select([need_t <= z for z in _FAST_SIZES],
+                        list(_FAST_SIZES), 0)
+    fits_t = pt[:, 0] + pow2_t <= cache3.shape[1] // page_size
+    valid_t = (batch.q_lens > 0) & (need_t > 0)
+    sel_t = jnp.where(valid_t & contig_t & fits_t & (pow2_t > 0)
+                      & (pow2_t <= chunk_pages), pow2_t, 0)
+    sel_t = jnp.where((sel_t == 0) & valid_t & contig_t
+                      & (need_t > chunk_pages), -1, sel_t).astype(jnp.int32)
     staged = (staged_pt if staged_pt is not None
               else B * Pg_p * 4 > SMEM_BYTES - SMEM_HEADROOM)
     if staged:
         assert Pg_p * 4 <= SMEM_BYTES - 2 * SMEM_HEADROOM, \
             f"pages/seq {Pg_p} exceeds the tile kernel's staged SMEM budget"
-        scalars = (layer_arr, batch.q_starts, batch.q_lens, batch.seq_lens)
+        scalars = (layer_arr, batch.q_starts, batch.q_lens, batch.seq_lens,
+                   sel_t)
         extra_in = [pl.BlockSpec(memory_space=pltpu.HBM)]       # pt
         extra_scratch = [pltpu.SMEM((Pg_p,), jnp.int32),
                          pltpu.SemaphoreType.DMA]
     else:
-        scalars = (layer_arr, batch.q_starts, batch.q_lens, batch.seq_lens, pt)
+        scalars = (layer_arr, batch.q_starts, batch.q_lens, batch.seq_lens,
+                   pt, sel_t)
         extra_in = []
         extra_scratch = []
 

@@ -28,7 +28,8 @@ from swiftllm_tpu.worker.batch_builder import tile_q_for
 
 
 def make_case(rng, seq_specs, *, n_q=4, n_kv=2, hd=32, page_size=8, Pg=8,
-              T=None, B=None, q_bucket=None, dtype=jnp.float32):
+              T=None, B=None, q_bucket=None, dtype=jnp.float32,
+              contig=False):
     """seq_specs: list of (q_len, seq_len). Builds a random cache + flat q with
     tile-aligned spans, mirroring batch_builder layout."""
     n = len(seq_specs)
@@ -48,8 +49,11 @@ def make_case(rng, seq_specs, *, n_q=4, n_kv=2, hd=32, page_size=8, Pg=8,
     page_table = np.zeros((B, Pg), np.int32)
     positions = np.zeros(T, np.int32)
 
-    # non-overlapping random page assignment
-    perm = rng.permutation(num_pages)
+    # non-overlapping page assignment: random permutation exercises the
+    # per-page DMA path; contig=True gives every row CONSECUTIVE pool pages,
+    # exercising the coalesced fast paths (sel = pow2 whole-history DMA and
+    # sel = -1 full-chunk DMAs — a fresh allocator's common case).
+    perm = np.arange(num_pages) if contig else rng.permutation(num_pages)
     cursor, page_cursor = 0, 0
     for b, (q_len, seq_len) in enumerate(seq_specs):
         assert q_len <= seq_len
@@ -205,6 +209,34 @@ def test_staged_page_table_prefill_mixed():
     rng = np.random.default_rng(21)
     case = make_case(rng, [(8, 200), (1, 77), (16, 16)], Pg=32, page_size=8)
     compare(*case, max_chunk_pages=4, staged_pt=True)
+
+
+def test_contiguous_decode_multichunk():
+    # Consecutive pool pages + histories spanning several chunks: the sel=-1
+    # full-chunk DMA path, incl. an exact chunk boundary (64 = 4 full chunks
+    # of 2 pages at max_chunk_pages=2) and ragged tails.
+    rng = np.random.default_rng(30)
+    case = make_case(rng, [(1, 64), (1, 57), (1, 15), (1, 3)], Pg=8,
+                     contig=True)
+    compare(*case, max_chunk_pages=2)
+
+
+def test_contiguous_prefill_multichunk():
+    # Prefill spans over consecutive pages: full-chunk DMAs per causal chunk,
+    # plus a single-chunk row (pow2 whole-history DMA) in the same batch.
+    rng = np.random.default_rng(31)
+    case = make_case(rng, [(16, 200), (8, 64), (16, 16)], Pg=32,
+                     page_size=8, contig=True)
+    compare(*case, max_chunk_pages=4)
+
+
+def test_contiguous_vs_scattered_same_result():
+    # The same logical case through the per-page and coalesced paths.
+    specs = [(1, 40), (1, 9)]
+    for contig in (False, True):
+        rng = np.random.default_rng(32)
+        case = make_case(rng, specs, Pg=8, contig=contig)
+        compare(*case, max_chunk_pages=2)
 
 
 def test_fp8_cache_decode():
