@@ -119,15 +119,52 @@ def build_parser():
     return p
 
 
+def _config_cost_estimate(extra: list[str]) -> float:
+    """Worst-case seconds a suite config may take on the tunneled chip
+    (compiles + weight fill + timed steps), from r2 measurements. The suite
+    skips (and SAYS it skipped) any config whose estimate exceeds the
+    remaining budget, so the process exits rc=0 within the driver's window
+    instead of being killed mid-config (the r2 artifact failure mode)."""
+    cost = 60.0                                   # compile + setup floor
+    if "8b" in extra:
+        cost += 180.0                             # bigger weights + programs
+    if "--mode" in extra:
+        cost += 60.0                              # prefill re-runs per trial
+    if "131072" in extra or "--profile-blocks" in extra:
+        cost += 120.0                             # cache alloc / AOT profile
+    return cost + 60.0                            # timed steps + margin
+
+
+def _device_reachable(timeout_s: float = 600.0) -> bool:
+    """Probe device init in a SUBPROCESS with a deadline: a dead tunnel hangs
+    jax.devices() inside C++ (unkillable from Python), which would turn the
+    whole suite into a silent driver timeout (the r2 rc=124 artifact)."""
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True, timeout=timeout_s)
+        return p.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def run_suite(isolate: bool = False):
-    budget = float(os.environ.get("SWIFTLLM_BENCH_BUDGET", 1800))
+    budget = float(os.environ.get("SWIFTLLM_BENCH_BUDGET", 1500))
     t_start = time.monotonic()
+    if not _device_reachable():
+        for extra in SUITE:
+            print(json.dumps({"metric": "suite_" + "_".join(extra),
+                              "value": 0, "unit": "NO_DEVICE",
+                              "vs_baseline": 0.0,
+                              "detail": "device init timed out (tunnel down)"}),
+                  flush=True)
+        return
     if not isolate:
         _warm_reverse_channel()
     for extra in SUITE:
         left = budget - (time.monotonic() - t_start)
         tag = "suite_" + "_".join(extra)
-        if left < 45:
+        if left < _config_cost_estimate(extra):
             print(json.dumps({"metric": tag, "value": 0,
                               "unit": "SKIPPED_BUDGET", "vs_baseline": 0.0}),
                   flush=True)
