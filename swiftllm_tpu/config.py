@@ -63,6 +63,9 @@ class EngineConfig:
 
     # --- serving ---
     max_output_len: int = 4096
+    enable_logprobs: bool = False      # compute each sampled token's raw
+                                       # log-softmax (one pmax+psum per step);
+                                       # exposed per-request via the API
     eos_stop: bool = True              # stop on EOS token (reference has no EOS handling, structs.py:57)
     warmup_at_init: bool = False       # pre-compile the core step programs at
                                        # engine startup (see Engine.warmup)

@@ -353,11 +353,12 @@ def forward_shard(
     return_logits: bool = False,
     use_sampler: bool = True,
     fp8_scaled: bool = False,
+    return_logprobs: bool = False,
 ):
     """Per-shard SPMD body. Runs inside shard_map; collectives over "tp".
 
     Returns (sampled_tokens i32[B_local], new kv_cache, new feedback
-    [, logits f32[B_local, V]]).
+    [, logprobs f32[B_local]][, logits f32[B_local, V]]).
     """
     T = batch.token_ids.shape[0]
     hd = cfg.head_dim
@@ -515,25 +516,51 @@ def forward_shard(
     # Publish samples to the feedback buffer (pad rows target the garbage slot).
     feedback = feedback.at[batch.feedback_write].set(tokens, mode="drop")
 
+    if return_logprobs:
+        # Raw log-softmax of the chosen token (temperature-independent, like
+        # vLLM's default). logsumexp over the tp-sharded vocab: one pmax +
+        # one psum of [B] scalars — noise next to the lm_head GEMM.
+        local_max = jnp.max(logits, axis=-1)                        # [B]
+        gmax = (jax.lax.pmax(local_max, AXIS_TP) if tp_size > 1
+                else local_max)
+        sumexp = jnp.sum(jnp.exp(logits - gmax[:, None]), axis=-1)  # -inf→0
+        if tp_size > 1:
+            sumexp = jax.lax.psum(sumexp, AXIS_TP)
+        lse = gmax + jnp.log(sumexp)
+        local_ids = tokens - tp_rank * v_local
+        in_shard = (local_ids >= 0) & (local_ids < v_local)
+        picked = jnp.take_along_axis(
+            logits, jnp.clip(local_ids, 0, v_local - 1)[:, None], axis=1)[:, 0]
+        chosen = jnp.where(in_shard, picked, 0.0)
+        if tp_size > 1:
+            chosen = jax.lax.psum(chosen, AXIS_TP)
+        logprobs = chosen - lse                                     # [B]
+
     # Replicate the sampled tokens over dp (a [dp*B] i32 all-gather — bytes,
     # not bandwidth): every host in a multi-host run can then read ALL groups'
     # tokens from its own addressable shard, and the engine's resolve path
     # never needs a cross-process fetch.
     if jax.lax.axis_size(AXIS_DP) > 1:
         tokens = jax.lax.all_gather(tokens, AXIS_DP, tiled=True)
+        if return_logprobs:
+            logprobs = jax.lax.all_gather(logprobs, AXIS_DP, tiled=True)
 
+    out = (tokens, kv_cache, feedback)
+    if return_logprobs:
+        out += (logprobs,)
     if return_logits:
         full = (jax.lax.all_gather(logits, AXIS_TP, axis=1, tiled=True)
                 if tp_size > 1 else logits)
-        return tokens, kv_cache, feedback, full
-    return tokens, kv_cache, feedback
+        out += (full,)
+    return out
 
 
 
 def make_step_fn(mesh, cfg: LlamaModelConfig, *, page_size: int, q_bucket: int,
                  use_pallas: bool, T: int, B: int, Pg: int,
                  return_logits: bool = False, quant: str = "none",
-                 use_sampler: bool = True, fp8_scaled: bool = False):
+                 use_sampler: bool = True, fp8_scaled: bool = False,
+                 return_logprobs: bool = False):
     """Build the jitted SPMD step. KV cache and feedback buffer are donated.
     The batch arrives as ONE packed i32 buffer (see pack_step_batch) — a
     single host→device transfer per step."""
@@ -546,6 +573,7 @@ def make_step_fn(mesh, cfg: LlamaModelConfig, *, page_size: int, q_bucket: int,
                               qkv_bias=cfg.qkv_bias)
     # Tokens come out replicated (all-gathered over dp inside forward_shard).
     out_specs = ((P(), KV_CACHE_SPEC, FEEDBACK_SPEC)
+                 + ((P(),) if return_logprobs else ())
                  + ((P(AXIS_DP, None),) if return_logits else ()))
 
     def step(params, kv_cache, feedback, flat_batch):
@@ -554,7 +582,8 @@ def make_step_fn(mesh, cfg: LlamaModelConfig, *, page_size: int, q_bucket: int,
                              page_size=page_size, q_bucket=q_bucket,
                              use_pallas=use_pallas,
                              return_logits=return_logits,
-                             use_sampler=use_sampler, fp8_scaled=fp8_scaled)
+                             use_sampler=use_sampler, fp8_scaled=fp8_scaled,
+                             return_logprobs=return_logprobs)
 
     sharded = jax.shard_map(
         step, mesh=mesh,

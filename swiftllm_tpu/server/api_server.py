@@ -56,6 +56,7 @@ async def generate(request: web.Request) -> web.StreamResponse:
         prompt_token_ids=payload.get("prompt_token_ids"),
     )
     do_decode = bool(payload.get("decode", True))
+    want_logprobs = bool(payload.get("logprobs", False))
 
     if payload.get("stream", False):
         response = web.StreamResponse(
@@ -73,6 +74,8 @@ async def generate(request: web.Request) -> web.StreamResponse:
         try:
             async for step_output in engine.stream_outputs(req):
                 event = {"token_id": step_output.token_id}
+                if want_logprobs:
+                    event["logprob"] = step_output.logprob
                 if decoder is not None:
                     event["text"] = await decoder.push(step_output.token_id)
                 await response.write((json.dumps(event) + "\n").encode())
@@ -85,6 +88,10 @@ async def generate(request: web.Request) -> web.StreamResponse:
 
     req, output_token_ids = await engine.add_request_and_wait(raw)
     result = {"output_token_ids": output_token_ids}
+    if want_logprobs:
+        # Raw log-softmax per generated token; null unless the engine runs
+        # with --enable-logprobs true.
+        result["logprobs"] = req.output_logprobs
     if do_decode:
         result["output"] = await engine.tokenizer.decode(output_token_ids)
     return web.json_response(result)

@@ -341,6 +341,7 @@ class Engine:
         """Dispatch one step and apply its COUNT effects (token values arrive
         at resolution). Returns the pending-step record."""
         tokens_dev, rows = self.model.forward_async(batch, groups=groups)
+        lp_dev = self.model.last_logprobs   # device f32[dp*B] or None
         entries = []   # (request, output position, batch row)
         for i, s in enumerate(rows):
             if s is None:
@@ -353,30 +354,37 @@ class Engine:
                 self.stats.num_prompt_tokens += s.n_tokens
             if samples:
                 r.output_token_ids.append(None)   # value pending on device
+                r.output_logprobs.append(None)
                 entries.append((r, len(r.output_token_ids) - 1, i))
         self.stats.num_steps += 1
-        return (tokens_dev, entries, time.perf_counter())
+        return (tokens_dev, entries, time.perf_counter(), lp_dev)
 
     async def _resolve(self, pending):
         """Block (off the event loop) for a dispatched step's token values and
         apply them: fill placeholders, stream, EOS-stop, finish events."""
-        tokens_dev, entries, t_dispatch = pending
+        tokens_dev, entries, t_dispatch, lp_dev = pending
         import jax
         import numpy as np
         loop = asyncio.get_running_loop()
         tokens = await loop.run_in_executor(
             self._resolve_executor, lambda: np.asarray(jax.device_get(tokens_dev)))
+        lps = (np.asarray(jax.device_get(lp_dev))
+               if lp_dev is not None else None)
         self.stats.total_step_time += time.perf_counter() - t_dispatch
         for r, pos, i in entries:
             if r.aborted or pos >= len(r.output_token_ids):
                 continue   # aborted, or truncated by an earlier EOS
             val = int(tokens[i])
+            lp = float(lps[i]) if lps is not None else None
             r.output_token_ids[pos] = val
+            if pos < len(r.output_logprobs):
+                r.output_logprobs[pos] = lp
             self.stats.num_tokens_generated += 1
             if val in self.eos_ids and pos + 1 < r.output_len:
                 r.stopped_on_eos = True
                 del r.output_token_ids[pos + 1:]   # drop in-flight overshoot
-            r.output_q.put_nowait(StepOutput(val, r))
+                del r.output_logprobs[pos + 1:]
+            r.output_q.put_nowait(StepOutput(val, r, logprob=lp))
             if r.is_finished() and pos == len(r.output_token_ids) - 1:
                 r.finished_event.set()
                 self.stats.num_requests_finished += 1

@@ -17,6 +17,7 @@ class StepOutput:
     """The output of one engine step for one request (reference structs.py:4-11)."""
     token_id: int
     request: "Request"
+    logprob: float | None = None   # raw log-softmax of token_id (enable_logprobs)
 
 
 class RawRequest:
@@ -58,6 +59,7 @@ class Request:
         self.sampling_seed = (raw_request.seed if raw_request.seed is not None
                               else next(_req_counter) + 0x9E3779B9)
         self.output_token_ids: list[int] = []
+        self.output_logprobs: list[float | None] = []   # parallel to output_token_ids
         self.num_cached_tokens = 0     # tokens whose KV already lives in the cache
         self.seq_id = -1               # row in its group's block table, assigned on admission
         self.dp_group = 0              # dp group the request is pinned to (sticky:

@@ -75,6 +75,7 @@ class LlamaModel:
                          if engine_config.kv_quant == "fp8" else self.dtype)
         self.params = None
         self.kv_cache = None          # [L, dp*S_local, 2, n_kv, hd], donated each step
+        self.last_logprobs = None     # f32[dp*B] device array (enable_logprobs)
         self.token_feedback = None    # i32[dp*(max_seqs+1)] last sample per seq slot
         self.cpu_cache = None         # host numpy [L, cpu_slots, 2, n_kv, hd]
         self.hbm_block_mgrs: list[BlockManager] = []
@@ -209,7 +210,8 @@ class LlamaModel:
                 T=key.tokens, B=key.rows, Pg=key.pages,
                 return_logits=return_logits, quant=self.engine_config.quant,
                 use_sampler=bool(key.sampling),
-                fp8_scaled=self.engine_config.kv_quant == "fp8")
+                fp8_scaled=self.engine_config.kv_quant == "fp8",
+                return_logprobs=self.engine_config.enable_logprobs)
         return self._step_fns[k]
 
     def _lower(self, key: BucketKey, num_blocks: int):
@@ -274,14 +276,21 @@ class LlamaModel:
         flat = jax.device_put(flat_np, self._flat_batch_sharding)
         step = self._get_step_fn(key, return_logits)
         out = step(self.params, self.kv_cache, self.token_feedback, flat)
-        if return_logits:
-            tokens, self.kv_cache, self.token_feedback, logits = out
+        lp = None
+        if self.engine_config.enable_logprobs:
+            tokens, self.kv_cache, self.token_feedback, lp, *rest = out
         else:
-            tokens, self.kv_cache, self.token_feedback = out
-        try:
-            tokens.copy_to_host_async()
-        except AttributeError:
-            pass
+            tokens, self.kv_cache, self.token_feedback, *rest = out
+        logits = rest[0] if return_logits else None
+        # Stash the logprobs DEVICE array next to the tokens; the engine
+        # captures it right after dispatch and resolves it with the tokens
+        # (same async copy pattern — never on the dispatch critical path).
+        self.last_logprobs = lp
+        for arr in (tokens, lp):
+            try:
+                arr.copy_to_host_async()
+            except AttributeError:
+                pass
         return (tokens, logits) if return_logits else tokens
 
     def forward(self, scheduled: list[ScheduledSeq],
