@@ -118,6 +118,8 @@ def build_app(engine: Engine) -> web.Application:
     app.router.add_post("/generate", generate)
     app.router.add_post("/profile/start", profile_start)
     app.router.add_post("/profile/stop", profile_stop)
+    from swiftllm_tpu.server.openai_api import add_routes
+    add_routes(app)   # OpenAI-compatible /v1/completions, /v1/models
     return app
 
 
