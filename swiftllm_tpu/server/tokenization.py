@@ -66,6 +66,22 @@ def _worker_decode_stream(window: list[int], read_rel: int,
                                skip_special_tokens)
 
 
+def _render_chat(tokenizer, messages: list[dict]) -> str:
+    """Messages → prompt string via the tokenizer's chat template when it has
+    one; otherwise a plain role-tagged transcript with a generation cue."""
+    try:
+        return tokenizer.apply_chat_template(
+            messages, tokenize=False, add_generation_prompt=True)
+    except Exception:
+        lines = [f"{m.get('role', 'user')}: {m.get('content', '')}"
+                 for m in messages]
+        return "\n".join(lines) + "\nassistant:"
+
+
+def _worker_render_chat(messages: list[dict]) -> str:
+    return _render_chat(_WORKER_TOKENIZER, messages)
+
+
 class DummyTokenizer:
     """Deterministic stand-in when no tokenizer files exist (dummy-weight mode)."""
 
@@ -142,6 +158,17 @@ class TokenizationEngine:
         return await loop.run_in_executor(
             self._pool, lambda: _incremental_decode(
                 self._tokenizer, window, read_rel, skip_special_tokens))
+
+    async def render_chat(self, messages: list[dict]) -> str:
+        """Chat messages → prompt string (chat template or plain transcript)."""
+        if self.backend == "inline":
+            return _render_chat(self._tokenizer, messages)
+        loop = asyncio.get_running_loop()
+        if self.backend == "process":
+            return await loop.run_in_executor(
+                self._pool, _worker_render_chat, messages)
+        return await loop.run_in_executor(
+            self._pool, lambda: _render_chat(self._tokenizer, messages))
 
     def shutdown(self):
         if self._pool is not None:

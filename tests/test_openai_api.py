@@ -62,6 +62,40 @@ def test_completions_token_id_prompt_and_logprobs():
     asyncio.run(_with_server(body, enable_logprobs=True))
 
 
+def test_chat_completions():
+    async def body(client):
+        resp = await client.post("/v1/chat/completions", json={
+            "messages": [{"role": "system", "content": "be brief"},
+                         {"role": "user", "content": "hi there"}],
+            "max_tokens": 4, "temperature": 0})
+        assert resp.status == 200
+        data = await resp.json()
+        assert data["object"] == "chat.completion"
+        msg = data["choices"][0]["message"]
+        assert msg["role"] == "assistant" and isinstance(msg["content"], str)
+        assert data["usage"]["completion_tokens"] == 4
+    asyncio.run(_with_server(body))
+
+
+def test_chat_completions_streaming():
+    async def body(client):
+        resp = await client.post("/v1/chat/completions", json={
+            "messages": [{"role": "user", "content": "a b c"}],
+            "max_tokens": 3, "stream": True})
+        chunks, done = [], False
+        async for line in resp.content:
+            line = line.decode().strip()
+            if line == "data: [DONE]":
+                done = True
+                break
+            if line.startswith("data: "):
+                chunks.append(json.loads(line[len("data: "):]))
+        assert done
+        assert chunks[0]["choices"][0]["delta"].get("role") == "assistant"
+        assert chunks[-1]["choices"][0]["finish_reason"] in ("stop", "length")
+    asyncio.run(_with_server(body))
+
+
 def test_completions_streaming_sse():
     async def body(client):
         resp = await client.post("/v1/completions", json={
