@@ -40,6 +40,11 @@ class EngineConfig:
     hbm_mem_utilization: float = 0.9   # fraction of free HBM given to the KV cache
     num_hbm_blocks: int | None = None  # explicit page-count override (skips profiling)
     num_cpu_blocks: int = 2048         # host-offload swap space, in pages
+    preemption_mode: str = "swap"      # "swap" (reference parity: KV pages
+                                       # offload to host) or "recompute"
+                                       # (free pages, re-prefill on
+                                       # re-admission; forced when
+                                       # num_cpu_blocks == 0)
     max_seqs_in_block_table: int = 1024
     max_blocks_per_seq: int = 2048     # => 32Ki tokens/seq at block_size 16
 
@@ -84,6 +89,7 @@ class EngineConfig:
     # Set to "" to disable.
 
     def __post_init__(self):
+        assert self.preemption_mode in ("swap", "recompute")
         assert self.kv_quant in ("none", "fp8")
         if self.kv_quant == "fp8":
             # 8-bit cache rows tile at 32 sublanes; page-granular DMAs need

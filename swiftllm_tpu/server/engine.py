@@ -413,6 +413,19 @@ class Engine:
         self.scheduler.reap_terminal(self._release_request)
         decision = self.scheduler.get_next_batch()
 
+        if decision.recompute:
+            # Preempt-by-recompute: token VALUES must be resolved before the
+            # reset (re-prefill feeds them back as known ids), so drain the
+            # pipeline; then free pages + seq ids and zero the cached count —
+            # the scheduler already requeued the victims at the waiting head.
+            await self._drain_pipeline()
+            await self._run_on_model_async(self.model.free_seqs_resources,
+                                           decision.recompute)
+            for r in decision.recompute:
+                self.scheduler.id_manager_for(r).free_id(r.seq_id)
+                r.seq_id = -1
+                r.num_cached_tokens = 0
+            self.stats.num_preemptions += len(decision.recompute)
         if decision.swap_out:
             # Swaps synchronize with the device; resolve the pipeline first.
             await self._drain_pipeline()
@@ -427,7 +440,8 @@ class Engine:
             for r in decision.swap_in:
                 r.swapped = False
 
-        progressed = bool(decision.batch or decision.swap_in or decision.swap_out)
+        progressed = bool(decision.batch or decision.swap_in
+                          or decision.swap_out or decision.recompute)
         if decision.batch:
             self._pending_steps.append(
                 await self._run_on_model_async(self._dispatch, decision.batch,

@@ -71,6 +71,10 @@ class ScheduleDecision:
     swap_in: list[Request]
     swap_out: list[Request]
     groups: list[list[ScheduledSeq]] | None = None   # per-dp-group view
+    # Preempt-by-recompute victims: pages freed, requeued to the waiting
+    # head; their prompt+generated tokens re-prefill on re-admission (cheap
+    # when prefix caching still holds their pages).
+    recompute: list[Request] = dataclasses.field(default_factory=list)
 
     @property
     def total_tokens(self) -> int:
@@ -215,14 +219,22 @@ class Scheduler:
         cfg = self.engine_config
         swap_out: list[Request] = []
         swap_in: list[Request] = []
+        recompute: list[Request] = []
+        # Swap preemption needs host swap space; without it (num_cpu_blocks=0,
+        # or preemption_mode="recompute") victims recompute instead: pages
+        # freed, requeued at the waiting head, prompt+generated re-prefilled
+        # on re-admission. No device↔host copies — and with prefix caching on
+        # the victim's full prompt pages are usually still resident.
+        by_recompute = (cfg.preemption_mode == "recompute"
+                        or cfg.num_cpu_blocks <= 0)
         groups: list[list[ScheduledSeq]] = [[] for _ in range(self.dp)]
         blocks_used = [0] * self.dp
         self._group_state: dict[int, dict] = {}
 
         for g in range(self.dp):
-            # 1. Preempt (swap out) the FCFS tail while this group's running
-            #    set cannot even decode one token each within its page / row
-            #    budget (reference scheduler.py:105-114).
+            # 1. Preempt the FCFS tail while this group's running set cannot
+            #    even decode one token each within its page / row budget
+            #    (reference scheduler.py:105-114).
             run = self.running_qs[g]
 
             def running_blocks_needed():
@@ -232,7 +244,12 @@ class Scheduler:
             while run and (len(run) > cfg.max_batch_size
                            or running_blocks_needed() > self.num_hbm_blocks):
                 g_swap_out.append(run.pop())
-            if g_swap_out:
+            if g_swap_out and by_recompute:
+                # FCFS order back at the waiting head (oldest first).
+                for r in g_swap_out:   # g_swap_out is newest-first
+                    self.waiting_q.appendleft(r)
+                recompute.extend(reversed(g_swap_out))
+            elif g_swap_out:
                 self.swapped_qs[g].extendleft(reversed(g_swap_out))
                 # Oldest-preempted-first for the engine's copy loop, matching
                 # the reference's reversed() return (scheduler.py:129).
@@ -258,18 +275,23 @@ class Scheduler:
         if cfg.enable_chunked_prefill:
             for g in range(self.dp):
                 groups[g] = self._build_group_batch(g, blocks_used)
-            if not swap_out:
+            if not swap_out and not recompute:
+                # recompute victims at the waiting head aren't reset (pages
+                # freed, seq id released) until the engine executes this
+                # decision — admission waits one round.
                 self._admit_fcfs(groups, blocks_used)
         else:
             assert self.dp == 1, \
                 "reference-style (non-chunked) scheduling supports dp == 1 only"
-            allow = not self.swapped_qs[0] and not swap_out and not swap_in
+            allow = (not self.swapped_qs[0] and not swap_out and not swap_in
+                     and not recompute)
             groups[0] = self._build_reference_style_batch(
                 blocks_used[0], allow_admission=allow)
 
         batch = [s for g in groups for s in g]
         return ScheduleDecision(batch=batch, swap_in=swap_in,
-                                swap_out=swap_out, groups=groups)
+                                swap_out=swap_out, groups=groups,
+                                recompute=recompute)
 
     def _chunk_align(self) -> int:
         """Tile-padding unit for prefill chunks (see _build_group_batch)."""

@@ -150,6 +150,49 @@ def test_engine_preemption_swap():
     asyncio.run(body())
 
 
+@pytest.mark.parametrize("mode_cfg", [dict(preemption_mode="recompute"),
+                                      dict(num_cpu_blocks=0)])
+def test_engine_preemption_recompute(mode_cfg):
+    # Same page pressure as the swap test, but victims free their pages and
+    # re-prefill prompt+generated on re-admission — no host offload at all.
+    # num_cpu_blocks=0 must force the same behavior (there is no swap space).
+    async def body():
+        ec = tiny_engine_config(num_hbm_blocks=8, max_blocks_per_seq=8,
+                                prefill_chunk_size=16, max_tokens_in_batch=64,
+                                **mode_cfg)
+        engine = make_engine(ec)
+        await engine.initialize(tokenizer_backend="inline")
+
+        async def clients():
+            return await asyncio.gather(*[
+                engine.add_request_and_wait(
+                    RawRequest("", 40, prompt_token_ids=[(i + j) % 256
+                                                         for j in range(40)]))
+                for i in range(2)])
+
+        outs = await run_engine(engine, clients(), timeout=300)
+        for req, token_ids in outs:
+            assert len(token_ids) == 40
+        assert engine.stats.num_preemptions >= 1
+
+        # Determinism: a roomy engine (no preemption) yields the same tokens.
+        engine2 = make_engine(tiny_engine_config(prefill_chunk_size=16,
+                                                 max_tokens_in_batch=64))
+        await engine2.initialize(tokenizer_backend="inline")
+
+        async def clients2():
+            return await asyncio.gather(*[
+                engine2.add_request_and_wait(
+                    RawRequest("", 40, prompt_token_ids=[(i + j) % 256
+                                                         for j in range(40)]))
+                for i in range(2)])
+
+        outs2 = await run_engine(engine2, clients2(), timeout=300)
+        assert engine2.stats.num_preemptions == 0
+        assert [t for _, t in outs] == [t for _, t in outs2]
+    asyncio.run(body())
+
+
 def test_engine_abort():
     async def body():
         engine = make_engine()
