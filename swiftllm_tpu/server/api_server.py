@@ -42,6 +42,27 @@ async def stats(request: web.Request) -> web.Response:
     return web.json_response(engine.stats.snapshot())
 
 
+async def metrics(request: web.Request) -> web.Response:
+    """Prometheus text exposition of the engine counters + queue gauges."""
+    engine: Engine = request.app["engine"]
+    snap = engine.stats.snapshot()
+    sched = engine.scheduler
+    gauges = {
+        "swiftllm_waiting_requests": len(sched.waiting_q),
+        "swiftllm_running_requests": sum(len(q) for q in sched.running_qs),
+        "swiftllm_swapped_requests": sum(len(q) for q in sched.swapped_qs),
+    }
+    lines = []
+    for k, v in snap.items():
+        name = f"swiftllm_{k}"
+        kind = "gauge" if k.startswith("avg_") else "counter"
+        lines += [f"# TYPE {name} {kind}", f"{name} {v}"]
+    for k, v in gauges.items():
+        lines += [f"# TYPE {k} gauge", f"{k} {v}"]
+    return web.Response(text="\n".join(lines) + "\n",
+                        content_type="text/plain")
+
+
 async def generate(request: web.Request) -> web.StreamResponse:
     engine: Engine = request.app["engine"]
     payload = await request.json()
@@ -115,6 +136,7 @@ def build_app(engine: Engine) -> web.Application:
     app["engine"] = engine
     app.router.add_get("/health", health)
     app.router.add_get("/stats", stats)
+    app.router.add_get("/metrics", metrics)
     app.router.add_post("/generate", generate)
     app.router.add_post("/profile/start", profile_start)
     app.router.add_post("/profile/stop", profile_stop)

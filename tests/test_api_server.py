@@ -43,6 +43,9 @@ def test_generate_non_streaming():
         assert health.status == 200
         stats = await (await client.get("/stats")).json()
         assert stats["num_requests_finished"] == 1
+        prom = await (await client.get("/metrics")).text()
+        assert "swiftllm_num_requests_finished 1" in prom
+        assert "# TYPE swiftllm_running_requests gauge" in prom
     asyncio.run(_with_server(body))
 
 
