@@ -79,6 +79,12 @@ class EngineConfig:
                                        # device→host copy latency (EOS can overshoot
                                        # by up to this many speculative tokens)
 
+    # --- multi-LoRA ---
+    lora_paths: str = ""               # "name=/path,name2=/path2" HF-peft
+                                       # adapters stacked into the step program
+                                       # (worker/lora.py); "dummy:a,b[,r=K]"
+                                       # generates random adapters (tests)
+
     # --- kernels ---
     use_pallas: bool = True            # Pallas kernels for the hot path; False = pure-jnp reference path
 

@@ -71,6 +71,10 @@ class StepBatch:
                                     #        from; -1 → use token_ids[t]
     feedback_write: jax.Array = 0   # i32[B] feedback slot to write row b's
                                     #        sampled token (pad rows → garbage)
+    # Multi-LoRA: adapter SLOT of each token's request (0 = base model,
+    # s >= 1 = stacked-adapter index s-1). Per-token (not per-row) so the
+    # layer math needs no row→token expansion.
+    lora_ids: jax.Array = 0         # i32[T]
     # True-SARATHI mixed steps: 1-token rows ("decode kind") are packed first
     # (flat token t == row index, the decode kernel's contract) and handled by
     # the fused-update decode kernel; multi-token rows go through the tile
@@ -108,6 +112,7 @@ def unpack_step_batch(flat: jax.Array, T: int, B: int, Pg: int) -> StepBatch:
     feedback_write = take(B)
     decode_row = take(B) != 0
     kv_slots_scatter = take(T)
+    lora_ids = take(T)
     page_table = take(B * Pg).reshape(B, Pg)
     return StepBatch(token_ids=token_ids, positions=positions, kv_slots=kv_slots,
                      q_starts=q_starts, q_lens=q_lens, seq_lens=seq_lens,
@@ -115,7 +120,7 @@ def unpack_step_batch(flat: jax.Array, T: int, B: int, Pg: int) -> StepBatch:
                      temperature=temperature, top_p=top_p, top_k=top_k,
                      seeds=seeds, feedback_read=feedback_read,
                      feedback_write=feedback_write, decode_row=decode_row,
-                     kv_slots_scatter=kv_slots_scatter)
+                     kv_slots_scatter=kv_slots_scatter, lora_ids=lora_ids)
 
 
 # ---------------------------------------------------------------------------------
@@ -439,9 +444,31 @@ def forward_shard(
                 y = y + w[bias_name].astype(y.dtype)[None, :]
             return y
 
-        q = biased(mproj(h, "wq"), "bq").reshape(T, n_q_l, hd)
-        k = biased(mproj(h, "wk"), "bk").reshape(T, n_kv_l, hd)
-        v = biased(mproj(h, "wv"), "bv").reshape(T, n_kv_l, hd)
+        def lora_add(y, x_in, name):
+            """Multi-LoRA dense-gather: every adapter's low-rank update for
+            every token (two einsums over the stacked n_lora axis), then a
+            one-hot select by the token's adapter slot — static shapes, no
+            per-adapter program. For in-sharded projections (wo, w_down) A's
+            contraction axis is tp-sharded, so the per-shard partial folds
+            into the projection's existing psum (see mesh.param_specs)."""
+            lw = w.get("lora_" + name)
+            if lw is None:
+                return y
+            A, Bm = lw["A"], lw["B"]            # [n, r, in], [n, out, r]
+            nl = A.shape[0]
+            z = jnp.einsum("td,nrd->tnr", x_in, A.astype(x_in.dtype),
+                           preferred_element_type=jnp.float32)
+            yl = jnp.einsum("tnr,nor->tno", z.astype(x_in.dtype),
+                            Bm.astype(x_in.dtype),
+                            preferred_element_type=jnp.float32)
+            sel = (batch.lora_ids[:, None]
+                   == (1 + jnp.arange(nl, dtype=jnp.int32))[None, :])
+            sel = sel.astype(jnp.float32) * params["lora_scale"][None, :]
+            return y + jnp.einsum("tno,tn->to", yl, sel).astype(y.dtype)
+
+        q = biased(lora_add(mproj(h, "wq"), h, "wq"), "bq").reshape(T, n_q_l, hd)
+        k = biased(lora_add(mproj(h, "wk"), h, "wk"), "bk").reshape(T, n_kv_l, hd)
+        v = biased(lora_add(mproj(h, "wv"), h, "wv"), "bv").reshape(T, n_kv_l, hd)
         q = apply_rope(q, batch.positions, inv_freq)
         k = apply_rope(k, batch.positions, inv_freq)
 
@@ -471,11 +498,13 @@ def forward_shard(
             page_size=page_size, sm_scale=sm_scale, use_pallas=use_pallas,
             q_bucket=q_bucket)
         attn = attn.reshape(T, n_q_l * hd)
-        x = x + psum_tp(mproj(attn, "wo"))
+        x = x + psum_tp(lora_add(mproj(attn, "wo"), attn, "wo"))
 
         h = rms_norm(x, w["ffn_norm"], eps)
-        gate = jax.nn.silu(mproj(h, "w_gate").astype(jnp.float32)).astype(x.dtype)
-        ffn = mproj(gate * mproj(h, "w_up"), "w_down")
+        gate = jax.nn.silu(lora_add(mproj(h, "w_gate"), h, "w_gate")
+                           .astype(jnp.float32)).astype(x.dtype)
+        gu = gate * lora_add(mproj(h, "w_up"), h, "w_up")
+        ffn = lora_add(mproj(gu, "w_down"), gu, "w_down")
         x = x + psum_tp(ffn)
         return (x, cache), None
 
@@ -560,7 +589,8 @@ def make_step_fn(mesh, cfg: LlamaModelConfig, *, page_size: int, q_bucket: int,
                  use_pallas: bool, T: int, B: int, Pg: int,
                  return_logits: bool = False, quant: str = "none",
                  use_sampler: bool = True, fp8_scaled: bool = False,
-                 return_logprobs: bool = False):
+                 return_logprobs: bool = False,
+                 lora_targets: tuple[str, ...] = ()):
     """Build the jitted SPMD step. KV cache and feedback buffer are donated.
     The batch arrives as ONE packed i32 buffer (see pack_step_batch) — a
     single host→device transfer per step."""
@@ -570,7 +600,8 @@ def make_step_fn(mesh, cfg: LlamaModelConfig, *, page_size: int, q_bucket: int,
     quantized_lm_head = quant != "none" and not cfg.tie_word_embeddings
 
     PARAM_SPECS = param_specs(quant, quantized_lm_head=quantized_lm_head,
-                              qkv_bias=cfg.qkv_bias)
+                              qkv_bias=cfg.qkv_bias,
+                              lora_targets=lora_targets)
     # Tokens come out replicated (all-gathered over dp inside forward_shard).
     out_specs = ((P(), KV_CACHE_SPEC, FEEDBACK_SPEC)
                  + ((P(),) if return_logprobs else ())

@@ -70,15 +70,22 @@ GEMM_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
 
 
 def param_specs(quant: str = "none", quantized_lm_head: bool = False,
-                qkv_bias: bool = False) -> dict:
+                qkv_bias: bool = False,
+                lora_targets: tuple[str, ...] = ()) -> dict:
     """PARAM_SPECS adjusted for the weight-quantization storage format.
 
     quantized_lm_head: the untied lm_head is stored quantized in its [V, D]
     ([out, in]) layout (vocab stays the tp-sharded axis); tied-embedding
     models keep the plain [V, D] embedding for both roles.
     qkv_bias: Qwen2-style [L, out] additive biases, sharded like their
-    projections' output axes (kept in the activation dtype under quant)."""
-    if quant == "none" and not qkv_bias:
+    projections' output axes (kept in the activation dtype under quant).
+    lora_targets: projection keys carrying stacked LoRA adapters
+    (layers["lora_<key>"] = {"A": [L, n_lora, r, in], "B": [L, n_lora, out, r]}
+    + top-level "lora_scale" [n_lora]). Out-sharded projections shard B's out
+    axis (A replicated, small); in-sharded ones (wo, w_down) shard A's
+    contraction axis so the per-shard LoRA partial folds into the projection's
+    existing psum."""
+    if quant == "none" and not qkv_bias and not lora_targets:
         return PARAM_SPECS
     specs = dict(PARAM_SPECS)
     layers = dict(PARAM_SPECS["layers"])
@@ -89,7 +96,16 @@ def param_specs(quant: str = "none", quantized_lm_head: bool = False,
     if qkv_bias:
         layers.update(bq=P(None, AXIS_TP), bk=P(None, AXIS_TP),
                       bv=P(None, AXIS_TP))
+    for key in lora_targets:
+        if key in ("wo", "w_down"):     # in-sharded base projection
+            layers["lora_" + key] = {"A": P(None, None, None, AXIS_TP),
+                                     "B": P()}
+        else:                           # out-sharded base projection
+            layers["lora_" + key] = {"A": P(),
+                                     "B": P(None, None, AXIS_TP, None)}
     specs["layers"] = layers
+    if lora_targets:
+        specs["lora_scale"] = P()
     if quantized_lm_head:
         q_key = "q" if quant == "int8" else "q4"
         specs["lm_head"] = {q_key: P(AXIS_TP, None), "s": P(AXIS_TP)}
@@ -113,6 +129,7 @@ BATCH_SPECS = {
     "feedback_write": P(AXIS_DP),
     "decode_row": P(AXIS_DP),
     "kv_slots_scatter": P(AXIS_DP),
+    "lora_ids": P(AXIS_DP),
 }
 
 # On-device last-sampled-token buffer, one slot per seq id per dp group

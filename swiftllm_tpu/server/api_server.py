@@ -75,6 +75,7 @@ async def generate(request: web.Request) -> web.StreamResponse:
         top_k=int(payload.get("top_k", 0)),
         seed=payload.get("seed"),
         prompt_token_ids=payload.get("prompt_token_ids"),
+        lora=payload.get("lora"),
     )
     do_decode = bool(payload.get("decode", True))
     want_logprobs = bool(payload.get("logprobs", False))

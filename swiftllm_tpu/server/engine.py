@@ -226,6 +226,15 @@ class Engine:
         hold something to ``abort_request`` even before the first token
         (e.g. a client that disconnects while the request is still queued)."""
         req = Request(raw_request)
+        if raw_request.lora:
+            # Unknown adapter = client error; reject at submit like over-length
+            # prompts (no silent base-model fallback).
+            slot = self.model.lora_slots.get(raw_request.lora)
+            if slot is None:
+                req.aborted = True
+                req.finished_event.set()
+                return req
+            req.lora_slot = slot
         if raw_request.prompt_token_ids is not None:
             req.set_prompt_token_ids(list(raw_request.prompt_token_ids))
             if self._fits(req):

@@ -28,6 +28,10 @@ def _make_raw(engine, payload: dict) -> RawRequest:
     ids = None
     if isinstance(prompt, list):   # OpenAI allows pre-tokenized prompts
         ids, prompt = [int(t) for t in prompt], ""
+    # A "model" naming a registered LoRA adapter routes to it (vLLM's
+    # multi-LoRA convention); anything else serves the base model.
+    model = payload.get("model")
+    lora = model if model in engine.model.lora_slots else None
     return RawRequest(
         prompt=prompt,
         output_len=int(payload.get("max_tokens", 16)),
@@ -35,6 +39,7 @@ def _make_raw(engine, payload: dict) -> RawRequest:
         top_p=float(payload.get("top_p", 1.0)),
         seed=payload.get("seed"),
         prompt_token_ids=ids,
+        lora=lora,
     )
 
 
@@ -186,11 +191,12 @@ async def chat_completions(request: web.Request) -> web.StreamResponse:
 async def models(request: web.Request) -> web.Response:
     engine = request.app["engine"]
     name = engine.engine_config.model_path or "swiftllm-tpu-dummy"
-    return web.json_response({
-        "object": "list",
-        "data": [{"id": name, "object": "model", "created": 0,
-                  "owned_by": "swiftllm-tpu"}],
-    })
+    data = [{"id": name, "object": "model", "created": 0,
+             "owned_by": "swiftllm-tpu"}]
+    data += [{"id": lora_name, "object": "model", "created": 0,
+              "owned_by": "swiftllm-tpu", "parent": name}
+             for lora_name in engine.model.lora_slots]
+    return web.json_response({"object": "list", "data": data})
 
 
 def add_routes(app: web.Application) -> None:

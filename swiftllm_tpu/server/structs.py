@@ -26,7 +26,8 @@ class RawRequest:
     def __init__(self, prompt: str, output_len: int,
                  temperature: float = 0.0, top_p: float = 1.0, top_k: int = 0,
                  seed: int | None = None,
-                 prompt_token_ids: list[int] | None = None):
+                 prompt_token_ids: list[int] | None = None,
+                 lora: str | None = None):
         self.prompt = prompt
         self.output_len = output_len
         self.temperature = temperature
@@ -34,6 +35,7 @@ class RawRequest:
         self.top_k = top_k
         self.seed = seed
         self.prompt_token_ids = prompt_token_ids   # skip tokenization when provided
+        self.lora = lora                           # LoRA adapter name (None = base)
 
 
 _req_counter = itertools.count()
@@ -59,6 +61,8 @@ class Request:
         self.sampling_seed = (raw_request.seed if raw_request.seed is not None
                               else next(_req_counter) + 0x9E3779B9)
         self.output_token_ids: list[int] = []
+        self.lora_slot = 0             # stacked-adapter slot (engine resolves
+                                       # raw_request.lora at submit; 0 = base)
         self.output_logprobs: list[float | None] = []   # parallel to output_token_ids
         self.num_cached_tokens = 0     # tokens whose KV already lives in the cache
         self.seq_id = -1               # row in its group's block table, assigned on admission

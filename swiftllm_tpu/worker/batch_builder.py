@@ -134,6 +134,7 @@ def build_step_batch(
 
     decode_row = np.zeros((dp, B), bool)
     kv_slots_scatter = np.zeros((dp, T), np.int32)
+    lora_ids = np.zeros((dp, T), np.int32)
 
     rows: list[ScheduledSeq] = [None] * (dp * B)  # type: ignore
 
@@ -173,6 +174,8 @@ def build_step_batch(
             else:
                 toks[i] = t
         token_ids[g, :n] = toks
+        lora_ids[g, :n] = np.fromiter(
+            (getattr(r, "lora_slot", 0) for r in reqs), np.int32, n)
         samples = np.fromiter((r.num_cached_tokens + 1 == r.total_len
                                for r in reqs), bool, n)
         sample_mask[g, :n] = samples
@@ -213,7 +216,8 @@ def build_step_batch(
             if mgr.prefix_caching and end <= r.prompt_len:
                 # Prompt pages this chunk fills become matchable by requests
                 # admitted at the NEXT scheduling round (never this step's).
-                mgr.register_prefix(r.seq_id, r.prompt_token_ids, end)
+                mgr.register_prefix(r.seq_id, r.prompt_token_ids, end,
+                                    namespace=getattr(r, "lora_slot", 0))
             pages = mgr.seq_block_ids(r.seq_id)
             npages = len(pages)
             assert npages <= Pg, f"seq {r.seq_id} has {npages} pages > bucket {Pg}"
@@ -228,6 +232,7 @@ def build_step_batch(
             assert all(t is not None for t in fed), \
                 f"seq {r.seq_id}: only the final sampled token may be unresolved"
             token_ids[g, cursor:cursor + n] = fed
+            lora_ids[g, cursor:cursor + n] = getattr(r, "lora_slot", 0)
             pos = np.arange(start, end, dtype=np.int32)
             positions[g, cursor:cursor + n] = pos
             slots = pages[pos // ps] * ps + pos % ps
@@ -270,16 +275,18 @@ def build_step_batch(
         feedback_write=feedback_write.reshape(dp * B),
         decode_row=decode_row.reshape(dp * B),
         kv_slots_scatter=kv_slots_scatter.reshape(dp * T),
+        lora_ids=lora_ids.reshape(dp * T),
     )
     return batch, key, rows
 
 
-# Packed-buffer layout: 5 token-axis fields (token_ids, positions, kv_slots,
-# feedback_read, kv_slots_scatter), 10 row-axis fields, and the [B, Pg] page
-# table — see pack_step_batch below. packed_len is THE single source of truth
-# for the buffer length (model._lower and distributed.broadcast_step both
-# derive from it; a hand-copied formula went stale once already).
-N_TOKEN_FIELDS = 5
+# Packed-buffer layout: 6 token-axis fields (token_ids, positions, kv_slots,
+# feedback_read, kv_slots_scatter, lora_ids), 10 row-axis fields, and the
+# [B, Pg] page table — see pack_step_batch below. packed_len is THE single
+# source of truth for the buffer length (model._lower and
+# distributed.broadcast_step both derive from it; a hand-copied formula went
+# stale once already).
+N_TOKEN_FIELDS = 6
 N_ROW_FIELDS = 10
 
 
@@ -312,6 +319,7 @@ def pack_step_batch(batch: StepBatch, dp: int) -> np.ndarray:
              i32(batch.sample_mask), i32(batch.temperature), i32(batch.top_p),
              i32(batch.top_k), i32(batch.seeds), i32(batch.feedback_write),
              i32(batch.decode_row), i32(batch.kv_slots_scatter),
+             i32(batch.lora_ids),
              i32(batch.page_table)]
     return np.concatenate(parts, axis=1).reshape(-1)
 

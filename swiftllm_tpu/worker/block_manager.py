@@ -110,17 +110,23 @@ class BlockManager:
         else:
             self._free_stack.append(p)
 
-    def match_prefix(self, seq_id: int, token_ids: list[int]) -> int:
+    def match_prefix(self, seq_id: int, token_ids: list[int],
+                     namespace: int = 0) -> int:
         """Install the longest cached chain of FULL prompt pages into
         ``seq_id``'s (empty) page list. Returns the number of prompt tokens
         thereby already cached — always < len(token_ids), so at least one
-        token of real prefill remains to produce next-token logits."""
+        token of real prefill remains to produce next-token logits.
+
+        ``namespace`` partitions chains whose KV differs for identical tokens
+        (e.g. the LoRA adapter slot — adapters change the k/v projections, so
+        pages must never be shared across them). Encoded in the root parent
+        id (-1 - namespace); descendants inherit it through the chain."""
         if not self.prefix_caching:
             return 0
         assert self.num_seq_allocated_blocks[seq_id] == 0
         ps = self.block_size
         usable = min((len(token_ids) - 1) // ps, self.max_blocks_per_seq)
-        parent, matched = -1, []
+        parent, matched = -1 - namespace, []
         for i in range(usable):
             page = self._prefix_map.get(
                 (parent, tuple(token_ids[i * ps:(i + 1) * ps])))
@@ -139,7 +145,8 @@ class BlockManager:
         self.num_seq_allocated_blocks[seq_id] = len(matched)
         return len(matched) * ps
 
-    def register_prefix(self, seq_id: int, token_ids: list[int], upto: int):
+    def register_prefix(self, seq_id: int, token_ids: list[int], upto: int,
+                        namespace: int = 0):
         """Make ``seq_id``'s full prompt pages (tokens [0, upto) are written
         as of the step just dispatched) matchable by future requests. Safe
         because matching happens at ADMISSION, strictly before the next
@@ -150,7 +157,7 @@ class BlockManager:
         ps = self.block_size
         full = min(upto, len(token_ids)) // ps
         pages = self.block_table[seq_id]
-        parent = -1
+        parent = -1 - namespace
         for i in range(full):
             p = int(pages[i])
             if p in self._page_key:   # already registered (matched or earlier chunk)

@@ -76,6 +76,8 @@ class LlamaModel:
         self.params = None
         self.kv_cache = None          # [L, dp*S_local, 2, n_kv, hd], donated each step
         self.last_logprobs = None     # f32[dp*B] device array (enable_logprobs)
+        self.lora_slots: dict[str, int] = {}   # adapter name → slot (>= 1)
+        self.lora_targets: tuple[str, ...] = ()
         self.token_feedback = None    # i32[dp*(max_seqs+1)] last sample per seq slot
         self.cpu_cache = None         # host numpy [L, cpu_slots, 2, n_kv, hd]
         self.hbm_block_mgrs: list[BlockManager] = []
@@ -92,6 +94,52 @@ class LlamaModel:
     def load_weights(self):
         from swiftllm_tpu.worker.weights import load_params
         self.params = load_params(self.engine_config, self.model_config, self.mesh)
+        if self.engine_config.lora_paths:
+            self._load_loras()
+
+    def _load_loras(self):
+        """Load the configured LoRA adapters into the params tree BEFORE any
+        step compiles (the stacked adapters are part of the program).
+        lora_paths: "name=/path,name2=/path2", or "dummy:a,b[,r=K]" for
+        deterministic random adapters (tests/benches, no files)."""
+        import jax.numpy as jnp
+        import ml_dtypes
+
+        from swiftllm_tpu.parallel.mesh import named, param_specs
+        from swiftllm_tpu.worker.lora import (load_lora_adapters,
+                                              make_dummy_loras)
+        spec_raw = self.engine_config.lora_paths
+        dtype = (ml_dtypes.bfloat16
+                 if jnp.dtype(self.engine_config.dtype) == jnp.bfloat16
+                 else np.dtype(self.engine_config.dtype))
+        if spec_raw.startswith("dummy:"):
+            parts = [p for p in spec_raw[len("dummy:"):].split(",") if p]
+            r = 8
+            names = []
+            for p in parts:
+                if p.startswith("r="):
+                    r = int(p[2:])
+                else:
+                    names.append(p)
+            entries, scales, slots, targets = make_dummy_loras(
+                names, self.model_config, self.num_kv_eff, dtype, r=r)
+        else:
+            paths = dict(item.split("=", 1)
+                         for item in spec_raw.split(",") if item)
+            entries, scales, slots, targets = load_lora_adapters(
+                paths, self.model_config, self.num_kv_eff, dtype)
+        self.lora_slots = slots
+        self.lora_targets = targets
+        specs = param_specs(self.engine_config.quant, qkv_bias=False,
+                            lora_targets=targets)
+        lora_shardings = named(self.mesh,
+                               {k: specs["layers"][k]
+                                for k in entries})
+        for k, v in entries.items():
+            self.params["layers"][k] = jax.tree.map(
+                lambda arr, s: jax.device_put(arr, s), v, lora_shardings[k])
+        self.params["lora_scale"] = jax.device_put(
+            scales, named(self.mesh, specs["lora_scale"]))
 
     def _weights_bytes(self) -> int:
         return sum(x.nbytes for x in jax.tree.leaves(self.params))
@@ -211,7 +259,8 @@ class LlamaModel:
                 return_logits=return_logits, quant=self.engine_config.quant,
                 use_sampler=bool(key.sampling),
                 fp8_scaled=self.engine_config.kv_quant == "fp8",
-                return_logprobs=self.engine_config.enable_logprobs)
+                return_logprobs=self.engine_config.enable_logprobs,
+                lora_targets=self.lora_targets)
         return self._step_fns[k]
 
     def _lower(self, key: BucketKey, num_blocks: int):
@@ -472,7 +521,8 @@ class LlamaModel:
         Called by the scheduler at admission (after seq_id/dp_group are
         assigned, before the step batch is built)."""
         matched = self.hbm_block_mgrs[request.dp_group].match_prefix(
-            request.seq_id, request.prompt_token_ids)
+            request.seq_id, request.prompt_token_ids,
+            namespace=request.lora_slot)
         if matched:
             request.num_cached_tokens = matched
         return matched
