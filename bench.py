@@ -109,6 +109,10 @@ def build_parser():
                    help="seed KV pages directly (cache zeros) instead of "
                         "running prefill — decode timing is identical, setup "
                         "is O(1) instead of O(context)")
+    p.add_argument("--lora", type=int, default=0,
+                   help="serve N stacked dummy LoRA adapters, requests "
+                        "assigned round-robin (base + N-1 adapters) — "
+                        "measures the dense-gather adapter overhead")
     p.add_argument("--profile-blocks", action="store_true",
                    help="size the cache via profile_num_blocks() (the real-"
                         "serving default path) instead of an explicit count")
@@ -254,6 +258,8 @@ def run_one(args):
         max_tokens_in_batch=args.max_tokens or max(2048, args.batch),
         prefill_chunk_size=512,
         max_seqs_in_block_table=max(args.batch, 16),
+        lora_paths=("dummy:" + ",".join(f"l{i}" for i in range(args.lora))
+                    if args.lora else ""),
         use_pallas=use_pallas)
 
     tprev = [time.perf_counter()]
@@ -278,6 +284,9 @@ def run_one(args):
         r = Request(RawRequest("", args.steps + 4))
         r.set_prompt_token_ids(rng.integers(0, V, args.context).tolist())
         r.seq_id = i
+        if args.lora:
+            # round-robin over base (slot 0) + the N adapters
+            r.lora_slot = i % (args.lora + 1)
         reqs.append(r)
 
     def apply(tokens_dev, rows):
@@ -375,8 +384,9 @@ def run_one(args):
         bw = HBM_BW["cpu"]
     sol_tok_per_s = args.batch * bw / (weight_bytes + args.batch * kv_per_seq)
 
+    lora_tag = f"_lora{args.lora}" if args.lora else ""
     print(json.dumps({
-        "metric": f"decode_throughput_{args.model}_b{args.batch}_c{args.context}{quant_tag}{kv_tag}",
+        "metric": f"decode_throughput_{args.model}_b{args.batch}_c{args.context}{quant_tag}{kv_tag}{lora_tag}",
         "value": round(tok_per_s, 2),
         "unit": "tokens/s/chip",
         "vs_baseline": round(tok_per_s / sol_tok_per_s, 4),
