@@ -122,6 +122,41 @@ def test_engine_prefix_caching_shares_and_matches_uncached():
     asyncio.run(body())
 
 
+def test_recompute_preemption_rides_prefix_cache():
+    # Preempt-by-recompute victims re-prefill on re-admission; with prefix
+    # caching on, their full prompt pages are usually still resident, so the
+    # re-prefill matches them instead of recomputing. Outputs must equal an
+    # unpreempted run either way.
+    from tests.test_engine import (make_engine, run_engine,
+                                   tiny_engine_config)
+    from swiftllm_tpu.server.structs import RawRequest
+
+    async def run_with(**cfg):
+        engine = make_engine(tiny_engine_config(
+            prefill_chunk_size=16, max_tokens_in_batch=64, **cfg))
+        await engine.initialize(tokenizer_backend="inline")
+
+        async def clients():
+            return await asyncio.gather(*[
+                engine.add_request_and_wait(
+                    RawRequest("", 40, prompt_token_ids=[(i + j) % 256
+                                                         for j in range(40)]))
+                for i in range(2)])
+
+        outs = await run_engine(engine, clients(), timeout=300)
+        return [t for _, t in outs], engine
+
+    async def body():
+        tight, eng = await run_with(num_hbm_blocks=8, max_blocks_per_seq=8,
+                                    preemption_mode="recompute",
+                                    enable_prefix_caching=True)
+        assert eng.stats.num_preemptions >= 1
+        roomy, eng2 = await run_with(enable_prefix_caching=True)
+        assert eng2.stats.num_preemptions == 0
+        assert tight == roomy
+    asyncio.run(body())
+
+
 def test_prefix_caching_matches_hf_golden(tmp_path_factory):
     import torch
     from transformers import LlamaConfig, LlamaForCausalLM
