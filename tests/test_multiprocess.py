@@ -45,6 +45,7 @@ ec = EngineConfig(model_path="", use_dummy=True, block_size=16,
                   num_hbm_blocks=32, num_cpu_blocks=8, prefill_chunk_size=32,
                   max_batch_size=4, max_seqs_in_block_table=64,
                   use_pallas=False, dp_size=2, tp_size=2,
+                  lora_paths="dummy:z,r=4",   # deterministic across processes
                   compilation_cache_dir="")
 model = LlamaModel(ec, mc)
 model.load_weights()
@@ -56,6 +57,7 @@ if distributed.is_primary():
         r = Request(RawRequest("", 4))
         r.set_prompt_token_ids([(17 * g + j) % 1024 for j in range(12)])
         r.seq_id, r.dp_group = 0, g
+        r.lora_slot = g   # group 1 routes through adapter "z" (slot 1)
         groups.append([ScheduledSeq(r, r.prompt_len)])
     # two steps: a prefill step, then a decode step (feedback-fed)
     tokens, rows = model.forward([s for g in groups for s in g], groups=groups)
