@@ -58,6 +58,10 @@ def _read_adapter(path: str):
             half = "B"
         else:
             continue
+        if "layers." not in name:
+            raise ValueError(
+                f"unsupported LoRA tensor {name!r}: only per-layer projection "
+                f"adapters are supported (no embed/lm_head LoRA)")
         layer = int(name.split("layers.")[1].split(".")[0])
         module = name.split(f".lora_{half}.")[0].rsplit(".", 1)[-1]
         key = TARGET_MAP.get(module)
