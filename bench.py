@@ -152,9 +152,29 @@ def _device_reachable(timeout_s: float = 600.0) -> bool:
         return False
 
 
+def _arm_watchdog(deadline_s: float):
+    """Hard-exit 0 if the suite overruns its budget: a tunnel that dies
+    MID-suite hangs device transfers inside C++ (uninterruptible from
+    Python), which would otherwise surface as the driver's rc=124. JSON
+    lines already printed stay in the artifact; the watchdog just bounds
+    the tail."""
+    def _fire():
+        print(json.dumps({"metric": "suite_watchdog", "value": 0,
+                          "unit": "BUDGET_EXCEEDED", "vs_baseline": 0.0,
+                          "detail": "hard-exit after budget; device likely "
+                                    "hung mid-suite"}), flush=True)
+        sys.stdout.flush()
+        os._exit(0)
+    t = threading.Timer(deadline_s, _fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def run_suite(isolate: bool = False):
     budget = float(os.environ.get("SWIFTLLM_BENCH_BUDGET", 1500))
     t_start = time.monotonic()
+    watchdog = _arm_watchdog(budget + 240.0)
     if not _device_reachable():
         for extra in SUITE:
             print(json.dumps({"metric": "suite_" + "_".join(extra),
@@ -162,6 +182,7 @@ def run_suite(isolate: bool = False):
                               "vs_baseline": 0.0,
                               "detail": "device init timed out (tunnel down)"}),
                   flush=True)
+        watchdog.cancel()
         return
     if not isolate:
         _warm_reverse_channel()
@@ -199,6 +220,7 @@ def run_suite(isolate: bool = False):
                               "vs_baseline": 0.0, "error": repr(e)[:400]}),
                   flush=True)
         gc.collect()
+    watchdog.cancel()
 
 
 def run_selftest():
