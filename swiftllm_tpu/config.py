@@ -174,6 +174,12 @@ class LlamaModelConfig:
     eos_token_id: int | list[int] | None = None
     # Qwen2-style additive bias on the q/k/v projections (no o/mlp bias).
     qkv_bias: bool = False
+    # Sliding-window attention (Mistral v0.1, Qwen2 with use_sliding_window):
+    # every query attends to at most the last `sliding_window` key positions.
+    # None/0 = full causal. Masking happens in the attention kernels; the KV
+    # cache still pages the full context (no rolling buffer), so page usage
+    # is unchanged — only the attention pattern narrows.
+    sliding_window: int | None = None
 
     def __post_init__(self):
         assert self.num_q_heads % self.num_kv_heads == 0
@@ -194,12 +200,12 @@ class LlamaModelConfig:
         model_type = cfg.get("model_type", "llama")
         assert model_type in ("llama", "qwen2", "mistral"), \
             f"unsupported model family {model_type!r} (llama/qwen2/mistral)"
-        if model_type == "mistral" and cfg.get("sliding_window"):
-            # Mistral v0.1 sliding-window attention isn't implemented; v0.3+
-            # configs set sliding_window to null and are plain llama-style.
-            assert cfg["sliding_window"] >= cfg.get(
-                "max_position_embeddings", 1 << 62), \
-                "mistral sliding_window attention is not supported"
+        # Sliding window: Mistral applies it whenever set (v0.1; v0.3+ sets
+        # null); Qwen2 carries the field but only honors it when
+        # use_sliding_window is true (HF modeling_qwen2 semantics).
+        sliding_window = cfg.get("sliding_window")
+        if model_type == "qwen2" and not cfg.get("use_sliding_window", False):
+            sliding_window = None
         assert cfg.get("hidden_act", "silu") == "silu"
         hidden = cfg["hidden_size"]
         n_q = cfg["num_attention_heads"]
@@ -222,6 +228,7 @@ class LlamaModelConfig:
             # via HF's attention_bias flag.
             qkv_bias=(model_type == "qwen2"
                       or bool(cfg.get("attention_bias", False))),
+            sliding_window=sliding_window,
         )
 
     @staticmethod

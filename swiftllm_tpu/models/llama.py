@@ -225,6 +225,7 @@ def _ragged_paged_attention_jnp(
     page_size: int,
     sm_scale: float,
     q_bucket: int,
+    window: int = 0,
 ) -> jax.Array:             # [T, n_q_local, hd]
     """Gather-based attention: every row attends over its own paged KV.
 
@@ -264,6 +265,10 @@ def _ragged_paged_attention_jnp(
     key_pos = jnp.arange(K, dtype=jnp.int32)
     valid = ((key_pos[None, None, :] <= q_pos[:, :, None])
              & (key_pos[None, None, :] < batch.seq_lens[:, None, None]))   # [B, Q, K]
+    if window:
+        # Sliding window: only the last `window` positions are visible
+        # (key_pos in (q_pos - window, q_pos]).
+        valid &= key_pos[None, None, :] > q_pos[:, :, None] - window
     scores = jnp.where(valid[:, None, None, :, :], scores, -1e30)
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bngqk,bknd->bqngd", probs, v.astype(jnp.float32))
@@ -279,7 +284,8 @@ def _ragged_paged_attention_jnp(
 # ---------------------------------------------------------------------------------
 
 def _attention_and_store(q, kv_new, cache3, layer, batch, *, n_kv,
-                         page_size, sm_scale, use_pallas, q_bucket):
+                         page_size, sm_scale, use_pallas, q_bucket,
+                         window=0):
     """Store this layer's fresh K‖V (kv_new [T, W], W = per-shard cache lane
     width, already cast to the cache dtype — including the per-token fp8
     scale lanes when kv_quant is on) into the 3-D cache [L, S, W] and run
@@ -304,7 +310,7 @@ def _attention_and_store(q, kv_new, cache3, layer, batch, *, n_kv,
             attn, cache3 = ragged_paged_attention(
                 q, cache3, layer, batch, n_kv=n_kv,
                 page_size=page_size, sm_scale=sm_scale, q_bucket=q_bucket,
-                kv_new=kv_new)
+                kv_new=kv_new, window=window)
         else:
             # True-SARATHI mixed step: scatter the PREFILL tokens' KV
             # (decode tokens target the garbage slot in kv_slots_scatter),
@@ -318,10 +324,10 @@ def _attention_and_store(q, kv_new, cache3, layer, batch, *, n_kv,
             pre_batch = dataclasses.replace(batch, q_lens=q_lens_pre)
             dec_out, cache3 = ragged_paged_attention(
                 q, cache3, layer, dec_batch, n_kv=n_kv, page_size=page_size,
-                sm_scale=sm_scale, q_bucket=1, kv_new=kv_new)
+                sm_scale=sm_scale, q_bucket=1, kv_new=kv_new, window=window)
             pre_out = ragged_paged_attention(
                 q, cache3, layer, pre_batch, n_kv=n_kv, page_size=page_size,
-                sm_scale=sm_scale, q_bucket=q_bucket)
+                sm_scale=sm_scale, q_bucket=q_bucket, window=window)
             n_dec = jnp.sum(batch.decode_row.astype(jnp.int32))
             tok_iota = jnp.arange(T, dtype=jnp.int32)[:, None, None]
             attn = jnp.where(tok_iota < n_dec, dec_out, pre_out)
@@ -341,7 +347,8 @@ def _attention_and_store(q, kv_new, cache3, layer, batch, *, n_kv,
         attn = _ragged_paged_attention_jnp(q, cache_l, batch,
                                            page_size=page_size,
                                            sm_scale=sm_scale,
-                                           q_bucket=q_bucket)
+                                           q_bucket=q_bucket,
+                                           window=window)
     return attn, cache3
 
 
@@ -496,7 +503,7 @@ def forward_shard(
         attn, cache = _attention_and_store(
             q, kv_new, cache, l, batch, n_kv=n_kv_l,
             page_size=page_size, sm_scale=sm_scale, use_pallas=use_pallas,
-            q_bucket=q_bucket)
+            q_bucket=q_bucket, window=cfg.sliding_window or 0)
         attn = attn.reshape(T, n_q_l * hd)
         x = x + psum_tp(lora_add(mproj(attn, "wo"), attn, "wo"))
 

@@ -53,6 +53,12 @@ from jax.experimental.pallas import tpu as pltpu
 from swiftllm_tpu.utils import cdiv, next_power_of_2, tile_q_for
 
 NEG_INF = -1e30
+# Sliding-window mask value: strictly BELOW the online-softmax init m0
+# (= NEG_INF), so a chunk whose keys are ALL window-masked keeps mi at m0 and
+# exp(WIN_NEG - m0) underflows to exact 0 — with the mask at m0 itself,
+# exp(0) = 1 would poison l/acc. (Causal masking never fully masks a chunk:
+# the loop bounds already stop at the causal KV need.)
+WIN_NEG = -2e30
 
 # v5e scalar memory (SMEM) is 1 MiB; the scalar-prefetched page table
 # [rows, Pg] i32 is by far its largest tenant. Reserve headroom for the other
@@ -215,7 +221,7 @@ def _make_chunk_io(cache_hbm, layer, pt_read, kv_buf, kv_sems, *,
 def _decode_kernel_grouped(
     *refs,
     page_size, chunk_pages, sm_scale, n_q, n_kv, hd, n_rows, R, br, W,
-    staged=False,
+    staged=False, window=0,
 ):
     """R-row batched decode attention with the KV-cache update fused in.
 
@@ -552,6 +558,10 @@ def _decode_kernel_grouped(
             key_row = c * chunk + jax.lax.broadcasted_iota(
                 jnp.int32, (1, chunk), 1)
             sc = jnp.where(key_row < hist_rows, sc, NEG_INF)
+            if window:
+                # Sliding window: the query sits at position hist_rows
+                # (= seq_len-1), so only keys > hist_rows - window stay.
+                sc = jnp.where(key_row > hist_rows - window, sc, WIN_NEG)
 
             mi = jnp.maximum(m, jnp.max(sc, axis=-1, keepdims=True))
             pr = jnp.exp(sc - mi)
@@ -651,7 +661,7 @@ def _decode_kernel_grouped(
 def _tiles_kernel(
     *refs,
     page_size, span, align, chunk_pages, sm_scale, n_q, n_kv, hd, W, hdp,
-    staged=False,
+    staged=False, window=0,
 ):
     """Prefill/mixed tile attention, heads batched per KV head.
 
@@ -778,6 +788,10 @@ def _tiles_kernel(
             else:
                 krow = vrow = None
             valid = (key_pos <= q_pos) & (key_pos < seq_len)   # [NG, chunk]
+            # Sliding window: keys in (q_pos - window, q_pos] only. Masked at
+            # WIN_NEG (below m0) because early chunks can be window-masked in
+            # FULL — see the WIN_NEG comment.
+            in_win = (key_pos > q_pos - window) if window else None
 
             new_m, new_l, new_acc = [], [], []
             for h in range(n_kv):
@@ -790,6 +804,8 @@ def _tiles_kernel(
                 if krow is not None:
                     s = s * krow
                 s = jnp.where(valid, s, NEG_INF)
+                if in_win is not None:
+                    s = jnp.where(in_win, s, WIN_NEG)
                 mi = jnp.maximum(m[h], jnp.max(s, axis=-1, keepdims=True))
                 p = jnp.exp(s - mi)
                 scale = jnp.exp(m[h] - mi)
@@ -839,7 +855,8 @@ def ragged_paged_attention(q, cache3, layer, batch, *, n_kv: int,
                            kv_new=None,
                            interpret: bool | None = None,
                            max_chunk_pages: int | None = None,
-                           staged_pt: bool | None = None):
+                           staged_pt: bool | None = None,
+                           window: int = 0):
     """q: [T, n_q, hd]; cache3: [L, S, n_kv*2*hd] — the FULL 3-D cache
     (per-shard), lanes laid out as [K_all ‖ V_all]: the shard's n_kv K heads
     contiguous, then its V heads. The kernel indexes the
@@ -1010,7 +1027,8 @@ def ragged_paged_attention(q, cache3, layer, batch, *, n_kv: int,
         kernel = functools.partial(
             _decode_kernel_grouped, page_size=page_size,
             chunk_pages=chunk_pages, sm_scale=sm_scale, n_q=n_q,
-            n_kv=n_kv, hd=hd, n_rows=Bp, R=R, br=br, W=W, staged=staged)
+            n_kv=n_kv, hd=hd, n_rows=Bp, R=R, br=br, W=W, staged=staged,
+            window=window)
         out, cache3 = pl.pallas_call(
             kernel, grid_spec=grid_spec,
             compiler_params=pltpu.CompilerParams(
@@ -1114,7 +1132,7 @@ def ragged_paged_attention(q, cache3, layer, batch, *, n_kv: int,
     kernel = functools.partial(
         _tiles_kernel, page_size=page_size, span=span, align=tile_q,
         chunk_pages=chunk_pages, sm_scale=sm_scale, n_q=n_q, n_kv=n_kv, hd=hd,
-        W=W, hdp=hdp, staged=staged)
+        W=W, hdp=hdp, staged=staged, window=window)
     # Head-block-major q in / out: an XLA transpose at the boundary is a tiny
     # relayout of q-sized data; it buys the kernel group-wide sublane-stacked
     # matmuls (see _tiles_kernel).

@@ -89,10 +89,11 @@ def make_case(rng, seq_specs, *, n_q=4, n_kv=2, hd=32, page_size=8, Pg=8,
 
 
 def compare(q, cache, batch, q_bucket, atol=None, max_chunk_pages=None,
-            staged_pt=None):
+            staged_pt=None, window=0):
     atol = atol if atol is not None else ATOL
     ref = _ragged_paged_attention_jnp(q, cache, batch, page_size=8,
-                                      sm_scale=0.125, q_bucket=q_bucket)
+                                      sm_scale=0.125, q_bucket=q_bucket,
+                                      window=window)
     # The kernel takes the FULL [L, S, ...] cache plus a layer index; exercise
     # a non-zero layer to cover the slot-offset arithmetic.
     stacked = jnp.stack([jnp.zeros_like(cache), cache, jnp.ones_like(cache)])
@@ -105,7 +106,7 @@ def compare(q, cache, batch, q_bucket, atol=None, max_chunk_pages=None,
             q, cache3, jnp.int32(1), batch, n_kv=n_kv, page_size=8,
             sm_scale=0.125, q_bucket=q_bucket, kv_new=kv_new,
             interpret=INTERPRET, max_chunk_pages=max_chunk_pages,
-            staged_pt=staged_pt)
+            staged_pt=staged_pt, window=window)
         # The write must be a no-op here (same data back to the same slots).
         np.testing.assert_array_equal(np.asarray(cache_out), np.asarray(cache3))
     else:
@@ -113,7 +114,7 @@ def compare(q, cache, batch, q_bucket, atol=None, max_chunk_pages=None,
             q, cache3, jnp.int32(1), batch, n_kv=n_kv, page_size=8,
             sm_scale=0.125, q_bucket=q_bucket,
             interpret=INTERPRET, max_chunk_pages=max_chunk_pages,
-            staged_pt=staged_pt)
+            staged_pt=staged_pt, window=window)
     # Only compare real token rows; pad rows are unspecified by contract.
     q_starts = np.asarray(batch.q_starts)
     q_lens = np.asarray(batch.q_lens)
@@ -360,3 +361,78 @@ def test_fp8_per_token_scales(seq_specs):
         np.testing.assert_allclose(np.asarray(got[sl]), np.asarray(ref[sl]),
                                    atol=max(ATOL, 1e-4), rtol=1e-3,
                                    err_msg=f"row {b}")
+
+
+# --------------------------- sliding-window attention ---------------------------
+
+def test_sliding_window_twin_vs_dense_oracle():
+    """The jnp twin's window mask vs a from-scratch dense softmax (both
+    kernels are parity-tested against the twin, so the twin itself needs an
+    independent oracle for the new semantics)."""
+    rng = np.random.default_rng(43)
+    window = 6
+    specs = [(1, 23), (5, 13), (9, 9)]
+    q, cache, batch, qb = make_case(rng, specs)
+    got = _ragged_paged_attention_jnp(q, cache, batch, page_size=8,
+                                      sm_scale=0.125, q_bucket=qb,
+                                      window=window)
+    cache_np = np.asarray(cache)
+    pt = np.asarray(batch.page_table)
+    for b, (q_len, seq_len) in enumerate(specs):
+        # gather row b's KV in token order
+        slots = [pt[b, k // 8] * 8 + k % 8 for k in range(seq_len)]
+        k_all = cache_np[slots, 0]               # [S, n_kv, hd]
+        v_all = cache_np[slots, 1]
+        start = int(batch.q_starts[b])
+        for i in range(q_len):
+            pos = seq_len - q_len + i
+            lo = max(0, pos - window + 1)
+            qi = np.asarray(q[start + i])         # [n_q, hd]
+            n_q, hd = qi.shape
+            group = n_q // k_all.shape[1]
+            for h in range(n_q):
+                kh = k_all[lo:pos + 1, h // group]      # [W, hd]
+                vh = v_all[lo:pos + 1, h // group]
+                s = (kh @ qi[h]) * 0.125
+                p = np.exp(s - s.max()); p /= p.sum()
+                np.testing.assert_allclose(
+                    np.asarray(got[start + i, h]), p @ vh, atol=1e-5,
+                    rtol=1e-4, err_msg=f"row {b} tok {i} head {h}")
+
+
+def test_sliding_window_decode_fully_masked_chunks():
+    # Long histories at a small window: EARLY CHUNKS ARE FULLY MASKED, which
+    # trips the exp(0)=1 online-softmax poison unless the mask sits below m0.
+    rng = np.random.default_rng(40)
+    case = make_case(rng, [(1, 512), (1, 300), (1, 40), (1, 1)], Pg=64)
+    compare(*case, max_chunk_pages=8, window=64)
+
+
+def test_sliding_window_decode_boundary_mid_chunk():
+    rng = np.random.default_rng(44)
+    case = make_case(rng, [(1, 100), (1, 77), (1, 64)], Pg=16)
+    compare(*case, max_chunk_pages=4, window=50)
+
+
+def test_sliding_window_prefill_and_mixed():
+    rng = np.random.default_rng(41)
+    case = make_case(rng, [(16, 16), (8, 40), (1, 33)])
+    compare(*case, window=8)
+
+
+def test_sliding_window_fused_span_prefill():
+    # spans of several tiles: per-query window boundaries cross chunk edges
+    rng = np.random.default_rng(45)
+    case = make_case(rng, [(64, 64), (33, 90)], Pg=16, q_bucket=64)
+    compare(*case, max_chunk_pages=4, window=24)
+
+
+def test_sliding_window_wider_than_history_matches_full():
+    rng = np.random.default_rng(42)
+    q, cache, batch, qb = make_case(rng, [(1, 17), (4, 29)])
+    ref_full = _ragged_paged_attention_jnp(q, cache, batch, page_size=8,
+                                           sm_scale=0.125, q_bucket=qb)
+    ref_win = _ragged_paged_attention_jnp(q, cache, batch, page_size=8,
+                                          sm_scale=0.125, q_bucket=qb,
+                                          window=4096)
+    np.testing.assert_array_equal(np.asarray(ref_full), np.asarray(ref_win))

@@ -104,13 +104,63 @@ def test_mistral_greedy_tokens_match_hf(tiny_mistral):
         assert o == hf_greedy(hf_model, p, 8), f"prompt {p}: {o}"
 
 
-def test_sliding_window_rejected(tmp_path):
-    import json
-
+def test_sliding_window_config_parses():
     from swiftllm_tpu.config import LlamaModelConfig
-    cfg = {"model_type": "mistral", "hidden_size": 64,
-           "num_attention_heads": 4, "num_hidden_layers": 2,
-           "intermediate_size": 128, "vocab_size": 128,
-           "max_position_embeddings": 8192, "sliding_window": 4096}
-    with pytest.raises(AssertionError, match="sliding_window"):
-        LlamaModelConfig.from_hf_dict(cfg)
+    base = {"hidden_size": 64, "num_attention_heads": 4,
+            "num_hidden_layers": 2, "intermediate_size": 128,
+            "vocab_size": 128, "max_position_embeddings": 8192}
+    # Mistral v0.1: sliding_window applies whenever set.
+    mc = LlamaModelConfig.from_hf_dict(
+        dict(base, model_type="mistral", sliding_window=4096))
+    assert mc.sliding_window == 4096
+    # Qwen2 only honors it under use_sliding_window (HF semantics).
+    mc = LlamaModelConfig.from_hf_dict(
+        dict(base, model_type="qwen2", sliding_window=4096))
+    assert mc.sliding_window is None
+    mc = LlamaModelConfig.from_hf_dict(
+        dict(base, model_type="qwen2", sliding_window=4096,
+             use_sliding_window=True))
+    assert mc.sliding_window == 4096
+
+
+@pytest.fixture(scope="module")
+def tiny_mistral_swa(tmp_path_factory):
+    """Mistral v0.1-style model with a sliding window SMALLER than the
+    prompts, so windowed and full-causal attention genuinely diverge."""
+    import torch
+    from transformers import MistralConfig, MistralForCausalLM
+
+    path = tmp_path_factory.mktemp("tiny_mistral_swa")
+    cfg = MistralConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, rms_norm_eps=1e-5, rope_theta=10000.0,
+        sliding_window=5, tie_word_embeddings=False,
+        attn_implementation="eager")
+    torch.manual_seed(13)
+    model = MistralForCausalLM(cfg).eval()
+    model.save_pretrained(path, safe_serialization=True)
+    return str(path), model
+
+
+SWA_PROMPTS = [[1, 5, 9, 13, 2, 7, 31, 64, 3, 77, 12, 50],
+               [1, 99, 42, 17, 8, 23, 61]]
+
+
+def test_mistral_sliding_window_greedy_matches_hf(tiny_mistral_swa):
+    path, hf_model = tiny_mistral_swa
+    from swiftllm_tpu.config import LlamaModelConfig
+    assert LlamaModelConfig.load_from_model_path(path).sliding_window == 5
+    m = make_model(path)
+    ours = run_ours(m, SWA_PROMPTS, 8)
+    for p, o in zip(SWA_PROMPTS, ours):
+        assert o == hf_greedy(hf_model, p, 8), f"prompt {p}: {o}"
+
+
+def test_mistral_sliding_window_chunked_prefill(tiny_mistral_swa):
+    # chunked prefill (window boundary crosses chunk edges) vs HF
+    path, hf_model = tiny_mistral_swa
+    m = make_model(path)
+    ours = run_ours(m, SWA_PROMPTS, 6, chunked=True)
+    for p, o in zip(SWA_PROMPTS, ours):
+        assert o == hf_greedy(hf_model, p, 6), f"prompt {p}: {o}"
