@@ -13,6 +13,8 @@ overlapped with the first config's weight upload by a warmup thread):
   5. decode  8B-dims INT4  b16 c128
   6. decode  1B-dims bf16  b1  c131072 (reference's 131Ki-token chart point,
                                         docs/assets/offline-llama-3-7b-a100.png)
+  7. decode  1B-dims bf16  b8  c128 spec-k4 (speculative-verify span steps,
+                                        full-acceptance upper bound)
 
 ``vs_baseline`` is the fraction of the chip's roofline ("speed of light")
 achieved. For decode that is HBM bandwidth: a step at batch B must at minimum
@@ -65,6 +67,10 @@ SUITE = [
      "--skip-prefill"],
     ["--model", "1b", "--batch", "1", "--context", "131072", "--steps", "16",
      "--skip-prefill"],
+    # Speculative-verify span steps at full acceptance (upper bound; realized
+    # serving speedup = (1+accepted)/(1+K) of this value).
+    ["--model", "1b", "--batch", "8", "--context", "128", "--spec-k", "4",
+     "--skip-prefill"],
 ]
 
 
@@ -109,6 +115,11 @@ def build_parser():
                    help="seed KV pages directly (cache zeros) instead of "
                         "running prefill — decode timing is identical, setup "
                         "is O(1) instead of O(context)")
+    p.add_argument("--spec-k", type=int, default=0,
+                   help="decode mode: verify K drafts per row per step "
+                        "(speculative-decoding span steps at full acceptance; "
+                        "realized speedup = (1+accepted)/(1+K) of the printed "
+                        "upper bound)")
     p.add_argument("--lora", type=int, default=0,
                    help="serve N stacked dummy LoRA adapters, requests "
                         "assigned round-robin (base + N-1 adapters) — "
@@ -317,6 +328,12 @@ def run_one(args):
         for i, s in enumerate(rows):
             if s is None:
                 continue
+            if s.drafts:
+                # Spec span at simulated FULL acceptance: all span tokens
+                # confirmed (token values are irrelevant to step timing).
+                s.request.output_token_ids.extend([0] * s.n_tokens)
+                s.request.num_cached_tokens += s.n_tokens
+                continue
             if s.samples_token:
                 s.request.output_token_ids.append(None)
             s.request.num_cached_tokens += s.n_tokens
@@ -383,18 +400,25 @@ def run_one(args):
     t("prefill/seed")
 
     # warmup decode (compile)
-    jax.block_until_ready(apply(*model.forward_async(
-        [ScheduledSeq(r, 1) for r in reqs])))
+    spec_k = args.spec_k
+
+    def decode_sched():
+        if spec_k:
+            return [ScheduledSeq(r, 1 + spec_k, drafts=(0,) * spec_k)
+                    for r in reqs]
+        return [ScheduledSeq(r, 1) for r in reqs]
+
+    jax.block_until_ready(apply(*model.forward_async(decode_sched())))
     t("decode compile")
 
     t0 = time.perf_counter()
     last = None
     for _ in range(args.steps):
-        last = apply(*model.forward_async([ScheduledSeq(r, 1) for r in reqs]))
+        last = apply(*model.forward_async(decode_sched()))
     jax.block_until_ready(last)
     dt = time.perf_counter() - t0
     t("decode timed")
-    tok_per_s = args.batch * args.steps / dt
+    tok_per_s = args.batch * args.steps * (1 + spec_k) / dt
 
     # speed-of-light roofline
     weight_bytes = sum(x.nbytes for x in jax.tree.leaves(model.params))
@@ -405,10 +429,17 @@ def run_one(args):
     if not on_tpu:
         bw = HBM_BW["cpu"]
     sol_tok_per_s = args.batch * bw / (weight_bytes + args.batch * kv_per_seq)
+    if spec_k:
+        # A spec step still streams the weights ONCE but can confirm up to
+        # 1+K tokens: the speed of light scales accordingly, so vs_baseline
+        # stays a step-efficiency number. Realized serving speedup is
+        # acceptance-dependent: (1 + accepted) / (1 + K) of this bound.
+        sol_tok_per_s *= (1 + spec_k)
 
     lora_tag = f"_lora{args.lora}" if args.lora else ""
+    spec_tag = f"_speck{spec_k}" if spec_k else ""
     print(json.dumps({
-        "metric": f"decode_throughput_{args.model}_b{args.batch}_c{args.context}{quant_tag}{kv_tag}{lora_tag}",
+        "metric": f"decode_throughput_{args.model}_b{args.batch}_c{args.context}{quant_tag}{kv_tag}{lora_tag}{spec_tag}",
         "value": round(tok_per_s, 2),
         "unit": "tokens/s/chip",
         "vs_baseline": round(tok_per_s / sol_tok_per_s, 4),

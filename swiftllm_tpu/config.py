@@ -79,6 +79,28 @@ class EngineConfig:
                                        # device→host copy latency (EOS can overshoot
                                        # by up to this many speculative tokens)
 
+    # --- speculative decoding (prompt-lookup / n-gram drafting) ---
+    enable_spec_decode: bool = False   # draft tokens by n-gram lookup in the
+                                       # request's own context and verify them
+                                       # in ONE multi-token step (the chunked-
+                                       # prefill span machinery). Greedy
+                                       # requests only; lossless (output is
+                                       # bit-identical to plain decode). Spec
+                                       # steps resolve synchronously (accepted
+                                       # count is value-dependent), so this
+                                       # trades pipeline depth for multi-token
+                                       # steps — a win when drafts accept.
+    spec_k: int = 4                    # max draft tokens verified per step
+    spec_ngram_max: int = 3            # longest context n-gram to match
+    spec_ngram_min: int = 2            # shortest n-gram worth trusting
+    spec_max_rows: int = 16            # draft only while the decode batch is
+                                       # at most this many rows: large-batch
+                                       # decode is bandwidth-bound (weights
+                                       # stream once per step regardless), so
+                                       # speculation pays extra FLOPs for no
+                                       # win there — and the cap pins the
+                                       # spec token buckets warmup compiles
+
     # --- multi-LoRA ---
     lora_paths: str = ""               # "name=/path,name2=/path2" HF-peft
                                        # adapters stacked into the step program

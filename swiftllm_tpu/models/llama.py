@@ -366,11 +366,18 @@ def forward_shard(
     use_sampler: bool = True,
     fp8_scaled: bool = False,
     return_logprobs: bool = False,
+    sample_span: int = 0,
 ):
     """Per-shard SPMD body. Runs inside shard_map; collectives over "tp".
 
     Returns (sampled_tokens i32[B_local], new kv_cache, new feedback
     [, logprobs f32[B_local]][, logits f32[B_local, V]]).
+
+    ``sample_span`` > 0 (speculative verify steps): the head reads EVERY one
+    of the first ``sample_span`` positions of each row's span (pad positions
+    → the zero row) instead of only the last, and the token/logprob outputs
+    become [B_local * sample_span], row-major. The engine's accept loop
+    compares drafts against these per-position values (server/engine.py).
     """
     T = batch.token_ids.shape[0]
     hd = cfg.head_dim
@@ -526,7 +533,16 @@ def forward_shard(
     last_tok = jnp.where(batch.q_lens > 0,
                          batch.q_starts + batch.q_lens - 1, T)              # [B]
     x_pad = jnp.concatenate([x, jnp.zeros((1, x.shape[1]), x.dtype)], axis=0)
-    h_last = x_pad[last_tok]                                                # [B, D]
+    if sample_span:
+        # Spec-verify head: all span positions, [B*S1] row-major.
+        S1 = sample_span
+        sp_iota = jnp.arange(S1, dtype=jnp.int32)
+        sel_tok = jnp.where(sp_iota[None, :] < batch.q_lens[:, None],
+                            batch.q_starts[:, None] + sp_iota[None, :],
+                            T).reshape(-1)                                  # [B*S1]
+        h_last = x_pad[sel_tok]                                             # [B*S1, D]
+    else:
+        h_last = x_pad[last_tok]                                            # [B, D]
     lm_head = params["lm_head"]
     if isinstance(lm_head, dict):   # quantized [V_local, D] ([out, in]) layout
         from swiftllm_tpu.worker.quant import proj as _qproj
@@ -539,10 +555,22 @@ def forward_shard(
     logits = jnp.where(vocab_ids[None, :] < cfg.vocab_size, logits, -jnp.inf)
 
     from swiftllm_tpu.models.sampling import exact_greedy, sample_tokens
+    if sample_span:
+        # Per-position sampling params: repeat each row's knobs over its span
+        # (spec rows are greedy by the scheduler's gate; temp>0 rows in the
+        # same step are single-position, so only their position 0 is read).
+        rep = lambda v: jnp.repeat(v, sample_span)  # noqa: E731
+        s_temp, s_tp, s_tk = (rep(batch.temperature), rep(batch.top_p),
+                              rep(batch.top_k))
+        s_seeds = rep(batch.seeds) + jnp.tile(
+            jnp.arange(sample_span, dtype=jnp.uint32), B)
+    else:
+        s_temp, s_tp, s_tk, s_seeds = (batch.temperature, batch.top_p,
+                                       batch.top_k, batch.seeds)
     if use_sampler:
         tokens = sample_tokens(
-            logits, temperature=batch.temperature, top_p=batch.top_p,
-            top_k=batch.top_k, seeds=batch.seeds, v_local=v_local,
+            logits, temperature=s_temp, top_p=s_tp,
+            top_k=s_tk, seeds=s_seeds, v_local=v_local,
             tp_axis=AXIS_TP, tp_size=tp_size, tp_rank=tp_rank)
     else:
         # All-greedy batch: the bucket key selects this variant so greedy
@@ -550,7 +578,16 @@ def forward_shard(
         tokens = exact_greedy(logits, v_local, AXIS_TP, tp_size)
 
     # Publish samples to the feedback buffer (pad rows target the garbage slot).
-    feedback = feedback.at[batch.feedback_write].set(tokens, mode="drop")
+    if sample_span:
+        # Each row's LAST VALID position (host-side resolve picks the real
+        # accepted token; this write only keeps the buffer well-defined).
+        tok2 = tokens.reshape(B, sample_span)
+        fb_val = jnp.take_along_axis(
+            tok2, jnp.clip(batch.q_lens - 1, 0, sample_span - 1)[:, None],
+            axis=1)[:, 0]
+    else:
+        fb_val = tokens
+    feedback = feedback.at[batch.feedback_write].set(fb_val, mode="drop")
 
     if return_logprobs:
         # Raw log-softmax of the chosen token (temperature-independent, like
@@ -597,7 +634,8 @@ def make_step_fn(mesh, cfg: LlamaModelConfig, *, page_size: int, q_bucket: int,
                  return_logits: bool = False, quant: str = "none",
                  use_sampler: bool = True, fp8_scaled: bool = False,
                  return_logprobs: bool = False,
-                 lora_targets: tuple[str, ...] = ()):
+                 lora_targets: tuple[str, ...] = (),
+                 sample_span: int = 0):
     """Build the jitted SPMD step. KV cache and feedback buffer are donated.
     The batch arrives as ONE packed i32 buffer (see pack_step_batch) — a
     single host→device transfer per step."""
@@ -621,7 +659,8 @@ def make_step_fn(mesh, cfg: LlamaModelConfig, *, page_size: int, q_bucket: int,
                              use_pallas=use_pallas,
                              return_logits=return_logits,
                              use_sampler=use_sampler, fp8_scaled=fp8_scaled,
-                             return_logprobs=return_logprobs)
+                             return_logprobs=return_logprobs,
+                             sample_span=sample_span)
 
     sharded = jax.shard_map(
         step, mesh=mesh,

@@ -74,7 +74,16 @@ OP_SWAP_FREE = 5     # free host swap pages of dead swapped-out seqs
 
 _SWAP_OPS = (OP_SWAP_OUT, OP_SWAP_IN, OP_SWAP_FREE)
 
-_HEADER_LEN = 6      # [op, tokens, rows, pages, q_len, sampling]
+def _header_len() -> int:
+    """[op] + every BucketKey field (derived, so a new bucket-variant field
+    can never silently truncate the broadcast)."""
+    import dataclasses
+
+    from swiftllm_tpu.worker.batch_builder import BucketKey
+    return 1 + len(dataclasses.fields(BucketKey))
+
+
+_HEADER_LEN = _header_len()   # [op, tokens, rows, pages, q_len, sampling, spec]
 
 
 def exchange_op(op: int = OP_STEP, bucket_key=None,

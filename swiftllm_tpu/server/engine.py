@@ -37,6 +37,8 @@ class EngineStats:
         self.num_prompt_tokens = 0
         self.num_requests_finished = 0
         self.num_preemptions = 0
+        self.num_spec_drafted = 0     # draft tokens submitted for verification
+        self.num_spec_accepted = 0    # draft tokens confirmed by the model
         self.total_step_time = 0.0
 
     def snapshot(self) -> dict:
@@ -46,6 +48,8 @@ class EngineStats:
             "num_prompt_tokens": self.num_prompt_tokens,
             "num_requests_finished": self.num_requests_finished,
             "num_preemptions": self.num_preemptions,
+            "num_spec_drafted": self.num_spec_drafted,
+            "num_spec_accepted": self.num_spec_accepted,
             "avg_step_ms": (1e3 * self.total_step_time / self.num_steps
                             if self.num_steps else 0.0),
         }
@@ -190,6 +194,32 @@ class Engine:
                         ra.output_token_ids.append(0)
                         for r in rest[:n_rows]:
                             self.model.free_seqs_resources([r])
+
+                    if cfg.enable_spec_decode and temp == 0.0:
+                        # Spec-verify buckets: pinned q = spec_k+1, span head;
+                        # the token bucket floats with the spec row count, so
+                        # warm every pow2 row count up to spec_max_rows (the
+                        # scheduler's drafting cap).
+                        n_rows = 1
+                        spec_reqs = []
+                        while n_rows <= min(cfg.spec_max_rows,
+                                            cfg.max_batch_size):
+                            while len(spec_reqs) < n_rows:
+                                rs = Request(RawRequest("", 4))
+                                rs.set_prompt_token_ids([1] * 4)
+                                rs.seq_id = mgr_ids.get_id()
+                                ids.append(rs.seq_id)
+                                rs.dp_group = g
+                                rs.num_cached_tokens = 4
+                                rs.output_token_ids.append(0)
+                                spec_reqs.append(rs)
+                                reqs.append(rs)
+                            groups[g] = [
+                                ScheduledSeq(rs, 1 + cfg.spec_k,
+                                             drafts=tuple([0] * cfg.spec_k))
+                                for rs in spec_reqs[:n_rows]]
+                            self.model.forward(groups[g], groups=groups)
+                            n_rows *= 2
                 finally:
                     self.model.free_seqs_resources(reqs)
                     mgr_ids.free_ids(ids)
@@ -351,27 +381,41 @@ class Engine:
         at resolution). Returns the pending-step record."""
         tokens_dev, rows = self.model.forward_async(batch, groups=groups)
         lp_dev = self.model.last_logprobs   # device f32[dp*B] or None
-        entries = []   # (request, output position, batch row)
+        key = self.model.last_key
+        span = key.spec if key is not None and key.spec else 1
+        entries = []   # (request, output position, batch row, drafts|None)
         for i, s in enumerate(rows):
             if s is None:
                 continue
             r = s.request
             was_prefill = r.is_prefill_stage()
             samples = s.samples_token   # evaluate BEFORE mutating num_cached_tokens
+            if s.drafts:
+                # Spec-verify row: only the span's FIRST token is certainly
+                # cached; accepted drafts join the count at resolution.
+                r.num_cached_tokens += 1
+                r.output_token_ids.append(None)
+                r.output_logprobs.append(None)
+                entries.append((r, len(r.output_token_ids) - 1, i, s.drafts))
+                self.stats.num_spec_drafted += len(s.drafts)
+                continue
             r.num_cached_tokens += s.n_tokens
             if was_prefill:
                 self.stats.num_prompt_tokens += s.n_tokens
             if samples:
                 r.output_token_ids.append(None)   # value pending on device
                 r.output_logprobs.append(None)
-                entries.append((r, len(r.output_token_ids) - 1, i))
+                entries.append((r, len(r.output_token_ids) - 1, i, None))
         self.stats.num_steps += 1
-        return (tokens_dev, entries, time.perf_counter(), lp_dev)
+        return (tokens_dev, entries, time.perf_counter(), lp_dev, span)
 
     async def _resolve(self, pending):
         """Block (off the event loop) for a dispatched step's token values and
-        apply them: fill placeholders, stream, EOS-stop, finish events."""
-        tokens_dev, entries, t_dispatch, lp_dev = pending
+        apply them: fill placeholders, stream, EOS-stop, finish events. Spec
+        rows (drafts is not None) additionally run the accept loop: the
+        longest prefix of drafts matching the model's own per-position tokens
+        is confirmed, plus the bonus token after it."""
+        tokens_dev, entries, t_dispatch, lp_dev, span = pending
         import jax
         import numpy as np
         loop = asyncio.get_running_loop()
@@ -379,22 +423,47 @@ class Engine:
             self._resolve_executor, lambda: np.asarray(jax.device_get(tokens_dev)))
         lps = (np.asarray(jax.device_get(lp_dev))
                if lp_dev is not None else None)
+        tokens2 = tokens.reshape(-1, span)
+        lps2 = lps.reshape(-1, span) if lps is not None else None
         self.stats.total_step_time += time.perf_counter() - t_dispatch
-        for r, pos, i in entries:
+        for r, pos, i, drafts in entries:
             if r.aborted or pos >= len(r.output_token_ids):
                 continue   # aborted, or truncated by an earlier EOS
-            val = int(tokens[i])
-            lp = float(lps[i]) if lps is not None else None
-            r.output_token_ids[pos] = val
-            if pos < len(r.output_logprobs):
-                r.output_logprobs[pos] = lp
-            self.stats.num_tokens_generated += 1
-            if val in self.eos_ids and pos + 1 < r.output_len:
-                r.stopped_on_eos = True
-                del r.output_token_ids[pos + 1:]   # drop in-flight overshoot
-                del r.output_logprobs[pos + 1:]
-            r.output_q.put_nowait(StepOutput(val, r, logprob=lp))
-            if r.is_finished() and pos == len(r.output_token_ids) - 1:
+            vals = [int(tokens2[i, 0])]
+            if drafts:
+                for j, d in enumerate(drafts):
+                    if d != vals[-1]:   # draft j+1 must equal the model's
+                        break           # token at span position j
+                    vals.append(int(tokens2[i, j + 1]))
+                self.stats.num_spec_accepted += len(vals) - 1
+            # EOS truncation WITHIN the accepted run, then output-len clamp.
+            for j, v in enumerate(vals):
+                if v in self.eos_ids and pos + j + 1 < r.output_len:
+                    vals = vals[: j + 1]
+                    r.stopped_on_eos = True
+                    break
+            vals = vals[: max(1, r.output_len - pos)]
+            if drafts:
+                # Accepted drafts' KV is valid (they equal the confirmed
+                # outputs); rejected/readout-truncated span KV is masked by
+                # seq_lens and overwritten by the real tokens later.
+                r.num_cached_tokens += len(vals) - 1
+            r.output_token_ids[pos] = vals[0]
+            if len(vals) > 1:
+                r.output_token_ids.extend(vals[1:])
+                r.output_logprobs.extend([None] * (len(vals) - 1))
+            for j, v in enumerate(vals):
+                lp = float(lps2[i, j]) if lps2 is not None else None
+                if pos + j < len(r.output_logprobs):
+                    r.output_logprobs[pos + j] = lp
+                r.output_q.put_nowait(StepOutput(v, r, logprob=lp))
+            self.stats.num_tokens_generated += len(vals)
+            if r.stopped_on_eos:
+                del r.output_token_ids[pos + len(vals):]   # in-flight overshoot
+                del r.output_logprobs[pos + len(vals):]
+                from swiftllm_tpu.server.spec import rollback_state
+                rollback_state(r, r.prompt_len + len(r.output_token_ids))
+            if r.is_finished() and pos + len(vals) == len(r.output_token_ids):
                 r.finished_event.set()
                 self.stats.num_requests_finished += 1
 
@@ -420,6 +489,12 @@ class Engine:
         # finish-by-count is known at dispatch time while token VALUES
         # resolve one step later.
         self.scheduler.reap_terminal(self._release_request)
+        if self._pending_steps and self.scheduler.spec_regime():
+            # Speculative drafting needs RESOLVED token values; entering the
+            # spec regime flushes the async pipeline once (spec steps then
+            # resolve synchronously anyway).
+            await self._drain_pipeline()
+            self.scheduler.reap_terminal(self._release_request)
         decision = self.scheduler.get_next_batch()
 
         if decision.recompute:
@@ -455,6 +530,12 @@ class Engine:
             self._pending_steps.append(
                 await self._run_on_model_async(self._dispatch, decision.batch,
                                                decision.groups))
+            if any(s.drafts for s in decision.batch):
+                # Spec steps resolve synchronously: the number of confirmed
+                # tokens (and hence every count the next scheduling round
+                # depends on) is value-dependent. Speculation trades pipeline
+                # depth for multi-token steps.
+                await self._drain_pipeline()
 
         # Resolve: force the head while the pipeline is over-full, drain
         # everything whose copy already landed, and block on the head when

@@ -53,16 +53,24 @@ class RequestIdManager:
 
 @dataclasses.dataclass
 class ScheduledSeq:
-    """One sequence's share of a step: feed `n_tokens` new tokens to the model."""
+    """One sequence's share of a step: feed `n_tokens` new tokens to the model.
+
+    ``drafts`` (speculative decoding, server/spec.py): host-proposed draft
+    tokens verified this step. When set, n_tokens == 1 + len(drafts) — the
+    span is [next real token] + drafts — and the engine resolves acceptance
+    before the next scheduling round."""
     request: Request
     n_tokens: int
+    drafts: tuple[int, ...] = ()
 
     @property
     def samples_token(self) -> bool:
         """Whether this step's last fed token is the sequence's current end, i.e.
-        this step produces a sampled token for the request."""
+        this step produces a sampled token for the request. (Spec rows are
+        handled separately: they always produce 1..n_tokens values.)"""
         r = self.request
-        return r.num_cached_tokens + self.n_tokens == r.total_len
+        return (not self.drafts
+                and r.num_cached_tokens + self.n_tokens == r.total_len)
 
 
 @dataclasses.dataclass
@@ -312,8 +320,22 @@ class Scheduler:
         # Decode tokens first: TPOT is latency-critical; prefill fills the rest.
         run = self.running_qs[g]
         decode_rows = [r for r in run if not r.is_prefill_stage()]
+        # Speculative drafting: pure-decode steady state only — a spec step's
+        # q bucket is pinned small (spec_k+1), so prefill chunks never share a
+        # step with drafts, and pending admissions take priority (TTFT).
+        spec_on = (cfg.enable_spec_decode
+                   and len(decode_rows) == len(run)
+                   and len(decode_rows) <= cfg.spec_max_rows
+                   and not self.waiting_q and not self.swapped_qs[g])
+        if spec_on:
+            spec_state = {"budget": max(cfg.max_tokens_in_batch,
+                                        cfg.max_batch_size),
+                          "align": tile_q_for(next_power_of_2(cfg.spec_k + 1)),
+                          "n_plain": len(decode_rows), "n_spec": 0}
         for r in decode_rows:
-            batch.append(ScheduledSeq(r, 1))
+            drafts = (self._propose_drafts(r, g, blocks_used, spec_state)
+                      if spec_on else ())
+            batch.append(ScheduledSeq(r, 1 + len(drafts), drafts=drafts))
 
         # Tile-padding-aware token budget: in a mixed step the batch builder
         # pads the decode block and every prefill chunk up to the attention
@@ -348,6 +370,61 @@ class Scheduler:
         # Stash the budget state for the admission pass.
         self._group_state[g] = state
         return batch
+
+    def spec_regime(self) -> bool:
+        """True when the next step would be eligible for speculative drafts
+        (pure decode, small batch, nothing waiting): the engine drains its
+        async pipeline first so token values are resolved for drafting."""
+        cfg = self.engine_config
+        if not cfg.enable_spec_decode or self.waiting_q:
+            return False
+        any_run = False
+        for g in range(self.dp):
+            run = self.running_qs[g]
+            if self.swapped_qs[g]:
+                return False
+            if any(r.is_prefill_stage() for r in run):
+                return False
+            if len(run) > cfg.spec_max_rows:
+                return False
+            any_run = any_run or bool(run)
+        return any_run
+
+    def _propose_drafts(self, r: Request, g: int, blocks_used: list[int],
+                        state: dict) -> tuple[int, ...]:
+        """Prompt-lookup drafts for one greedy decode row (server/spec.py),
+        bounded by the remaining output budget, the sequence-length cap, the
+        step's padded-token budget, and the group's page pool."""
+        cfg = self.engine_config
+        if r.temperature > 0:     # lossless speculation needs greedy verify
+            return ()
+        cap = min(cfg.spec_k,
+                  r.output_len - len(r.output_token_ids) - 1,
+                  cfg.max_seq_len - (r.num_cached_tokens + 1))
+        if cap <= 0:
+            return ()
+        # Token budget: a spec row leaves the densely packed decode block and
+        # becomes an align-padded span in the flat token stream.
+        a = state["align"]
+        cost = cdiv(state["n_plain"] - 1, a) * a + (state["n_spec"] + 1) * a
+        if cost > state["budget"]:
+            return ()
+        from swiftllm_tpu.server import spec as spec_mod
+        st = spec_mod.sync_state(r)
+        if st is None:            # a pipelined token value is still on device
+            return ()
+        drafts = spec_mod.propose(st.view(), cap, cfg.spec_ngram_max,
+                                  cfg.spec_ngram_min)
+        if not drafts:
+            return ()
+        extra = (self._blocks_after(r, 1 + len(drafts))
+                 - self._blocks_after(r, 1))
+        if extra and blocks_used[g] + extra > self.num_hbm_blocks:
+            return ()
+        blocks_used[g] += extra
+        state["n_plain"] -= 1
+        state["n_spec"] += 1
+        return tuple(drafts)
 
     @staticmethod
     def _padded_avail(state: dict) -> int:

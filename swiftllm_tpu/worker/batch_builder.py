@@ -35,6 +35,9 @@ class BucketKey:
                        # 0 → greedy-only head (an all-greedy batch pays no
                        # sampling cost: the full sampler is ~1.2 ms/step at
                        # 32k vocab, the greedy head ~0.1 ms — measured v5e)
+    spec: int = 0      # >0 → speculative-verify step: the sampling head reads
+                       # EVERY span position (S1 = this value = q_len) instead
+                       # of each row's last token; tokens come out [B*S1]
 
 
 def _pick_bucket(buckets: tuple[int, ...], needed: int, hard: bool = False) -> int:
@@ -50,11 +53,23 @@ def select_buckets(groups: list[list[ScheduledSeq]], cfg: EngineConfig) -> Bucke
     """Decode-kind rows (n_tokens == 1) pack densely; prefill rows tile-align."""
     max_rows = max(len(g) for g in groups)
     max_q = max((s.n_tokens for g in groups for s in g), default=1)
+    spec = any(s.drafts for g in groups for s in g)
+    if spec:
+        # Speculative-verify step: q bucket PINNED to the configured span so
+        # varying per-step draft counts reuse one compiled program. The
+        # scheduler never mixes prefill chunks into a spec step.
+        assert all(s.drafts or s.n_tokens == 1 for g in groups for s in g), \
+            "spec steps must not contain prefill chunks"
+        q_len = next_power_of_2(cfg.spec_k + 1)
+        assert max_q <= q_len, f"span {max_q} > spec bucket {q_len}"
     # Pin the q bucket: 1 (decode-only) or at least the full prefill chunk —
     # tail chunks padding up beats a separate compiled program per tail size.
     # (Direct forward() callers may feed more than a chunk; take the max.)
-    q_len = 1 if max_q == 1 else next_power_of_2(
-        max(max_q, min(cfg.prefill_chunk_size, cfg.max_tokens_in_batch)))
+    elif max_q == 1:
+        q_len = 1
+    else:
+        q_len = next_power_of_2(
+            max(max_q, min(cfg.prefill_chunk_size, cfg.max_tokens_in_batch)))
     align = tile_q_for(q_len)
 
     def group_tokens(g):
@@ -94,6 +109,7 @@ def select_buckets(groups: list[list[ScheduledSeq]], cfg: EngineConfig) -> Bucke
         q_len=q_len,
         sampling=int(any(s.request.temperature > 0
                          for g in groups for s in g)),
+        spec=q_len if spec else 0,
     )
 
 
@@ -222,7 +238,13 @@ def build_step_batch(
             npages = len(pages)
             assert npages <= Pg, f"seq {r.seq_id} has {npages} pages > bucket {Pg}"
 
-            fed = r.all_token_ids[start:end]
+            if s.drafts:
+                # Speculative verify span: [next real token] + host drafts
+                # (drafts are NOT part of all_token_ids — only accepted ones
+                # join it at resolve time, as the model's own outputs).
+                fed = r.all_token_ids[start:start + 1] + list(s.drafts)
+            else:
+                fed = r.all_token_ids[start:end]
             if fed and fed[-1] is None:
                 # The request's last sampled token is still on-device (async
                 # pipelining): read it from the feedback buffer instead.

@@ -76,6 +76,7 @@ class LlamaModel:
         self.params = None
         self.kv_cache = None          # [L, dp*S_local, 2, n_kv, hd], donated each step
         self.last_logprobs = None     # f32[dp*B] device array (enable_logprobs)
+        self.last_key = None          # BucketKey of the most recent dispatch
         self.lora_slots: dict[str, int] = {}   # adapter name → slot (>= 1)
         self.lora_targets: tuple[str, ...] = ()
         self.token_feedback = None    # i32[dp*(max_seqs+1)] last sample per seq slot
@@ -260,7 +261,8 @@ class LlamaModel:
                 use_sampler=bool(key.sampling),
                 fp8_scaled=self.engine_config.kv_quant == "fp8",
                 return_logprobs=self.engine_config.enable_logprobs,
-                lora_targets=self.lora_targets)
+                lora_targets=self.lora_targets,
+                sample_span=key.spec)
         return self._step_fns[k]
 
     def _lower(self, key: BucketKey, num_blocks: int):
@@ -323,6 +325,8 @@ class LlamaModel:
         device tokens array (with the host copy started) — or (tokens, logits)
         when return_logits."""
         flat = jax.device_put(flat_np, self._flat_batch_sharding)
+        self.last_key = key   # the engine reads bucket variant info (e.g. the
+                              # spec span width) right after dispatch
         step = self._get_step_fn(key, return_logits)
         out = step(self.params, self.kv_cache, self.token_feedback, flat)
         lp = None

@@ -436,3 +436,19 @@ def test_sliding_window_wider_than_history_matches_full():
                                           sm_scale=0.125, q_bucket=qb,
                                           window=4096)
     np.testing.assert_array_equal(np.asarray(ref_full), np.asarray(ref_win))
+
+
+def test_spec_span_small_q_bucket():
+    """Spec-verify steps run the tile kernel at a SMALL pinned q bucket
+    (spec_k+1, e.g. 8) — far below the prefill chunk sizes the other cases
+    use. Mixed decode rows + short multi-token spans at q_bucket=8."""
+    rng = np.random.default_rng(46)
+    case = make_case(rng, [(1, 33), (5, 40), (8, 24), (2, 9)], q_bucket=8)
+    compare(*case)
+
+
+def test_spec_span_small_q_bucket_long_history():
+    # short spans over multi-chunk histories (verify-after-long-context)
+    rng = np.random.default_rng(47)
+    case = make_case(rng, [(4, 300), (1, 512)], Pg=64, q_bucket=8)
+    compare(*case, max_chunk_pages=8)
