@@ -403,6 +403,28 @@ def _decode_kernel_grouped(
                     kv_sems.at[slot, r, j],
                 ).wait()
 
+    def grp_c_lo(gb):
+        """First chunk with any window-visible key for group gb (0 without a
+        sliding window). Chunks below it are fully masked for EVERY row of
+        the group (min over valid rows), so they are never DMA'd or scored.
+        Clamped to nc-1 so the loop always runs ≥1 iteration — the
+        cross-group prefetch chain needs a body iteration to continue.
+        Single-chunk rows (pow2 fast path, issued at c == 0) always have
+        c_lo_r == 0, so they force the group to 0 and never lose their DMA."""
+        if not window:
+            return 0
+        lo, ncg = None, None
+        for r in range(R):
+            b = gb * R + r
+            v = q_lens_ref[b] > 0
+            h = jnp.maximum(seq_lens_ref[b] - 1, 0)
+            cl = jnp.where(v, jnp.maximum(h - (window - 1), 0) // chunk,
+                           jnp.int32(1 << 30))
+            ncr = jnp.where(v, pl.cdiv(h, chunk), 0)
+            lo = cl if lo is None else jnp.minimum(lo, cl)
+            ncg = ncr if ncg is None else jnp.maximum(ncg, ncr)
+        return jnp.clip(lo, 0, jnp.maximum(ncg - 1, 0))
+
     def start_grp(gb, c, slot):
         for r in range(R):
             b = gb * R + r
@@ -446,7 +468,8 @@ def _decode_kernel_grouped(
         def _():
             start_pt(0, 0)
             wait_pt(0, 0)
-            start_grp(0, 0, 0)
+            c00 = grp_c_lo(0)
+            start_grp(0, c00, c00 % 2)   # % works for int and traced alike
             start_rmw_reads(0, 0)
 
     # Valid rows form a contiguous prefix (builder contract), so group
@@ -488,11 +511,14 @@ def _decode_kernel_grouped(
             start_rmw_reads(g_next, par_n)
             wait_pt(g_next, par_n)
 
+        c_lo = grp_c_lo(g)            # own group's first visible chunk
+        cn_next = grp_c_lo(g_next)    # next group's (for the prefetch chain)
+
         # hist == 0 groups run zero chunk iterations; keep the prefetch chain
         # alive here instead.
         @pl.when((nc == 0) & next_valid)
         def _():
-            start_grp(g_next, 0, base)
+            start_grp(g_next, cn_next, (base + cn_next) % 2)
 
         # --- build the double-block-diagonal q [R*n_q, R*W] ------------------
         q = q_ref[...]                                     # [R*n_q, hd]
@@ -533,7 +559,7 @@ def _decode_kernel_grouped(
 
             @pl.when((c + 1 >= nc) & next_valid)
             def _():
-                start_grp(g_next, 0, jax.lax.rem(base + nc, 2))
+                start_grp(g_next, cn_next, (base + nc + cn_next) % 2)
 
             wait_grp(g, c, slot)
             # Regions never DMA'd hold zeros or a previous row's finite KV
@@ -580,7 +606,7 @@ def _decode_kernel_grouped(
                                   pv[:, r * W + KH:r * W + 2 * KH], own_v)
             return (mi, li, acc * scale + own_v)
 
-        m, l, acc = jax.lax.fori_loop(0, nc, body, (m0, l0, a0))
+        m, l, acc = jax.lax.fori_loop(c_lo, nc, body, (m0, l0, a0))
 
         # --- fold in the new tokens (key position seq_len-1) from VMEM -------
         # kv_new block row (g % br) is this group's R rows' K‖V side by side —
@@ -739,7 +765,18 @@ def _tiles_kernel(
         pages_needed = pl.cdiv(kv_needed, page_size)
         dma_sel = sel_ref[b]   # NB: `sel` is shadowed by the fp8 selector below
 
-        start_chunk(b, 0, 0, pages_needed, dma_sel)
+        if window:
+            # Sliding window: chunks wholly below the FIRST query's window
+            # are masked for every query in the span (later queries only
+            # move the window forward) — skip their DMAs and scores. Clamped
+            # to num_chunks-1 so the started chunk is always waited on.
+            # (Pow2 whole-history rows are single-chunk → c_lo == 0 there.)
+            first_q = seq_len - q_len + t * span
+            c_lo = jnp.clip(jnp.maximum(first_q - (window - 1), 0) // chunk,
+                            0, jnp.maximum(num_chunks - 1, 0))
+        else:
+            c_lo = 0
+        start_chunk(b, c_lo, c_lo % 2, pages_needed, dma_sel)
         q_dma.wait()
         q4 = q_buf[...]                 # [n_q, tile_q, hdp]
 
@@ -820,7 +857,7 @@ def _tiles_kernel(
                 new_acc.append(ai)
             return (jnp.stack(new_m), jnp.stack(new_l), jnp.stack(new_acc))
 
-        m, l, acc = jax.lax.fori_loop(0, num_chunks, body, (m0, l0, a0))
+        m, l, acc = jax.lax.fori_loop(c_lo, num_chunks, body, (m0, l0, a0))
         for h in range(n_kv):
             out_h = acc[h] / jnp.maximum(l[h], 1e-30)        # [NG, hd]
             if hdp > hd:

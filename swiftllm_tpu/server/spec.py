@@ -74,11 +74,15 @@ def rollback_state(request, new_total: int) -> None:
 
 
 def propose(tokens: np.ndarray, k: int, ngram_max: int = 3,
-            ngram_min: int = 2) -> list[int]:
+            ngram_min: int = 2, lookback: int = 8192) -> list[int]:
     """Propose ≤k draft tokens continuing `tokens` by longest-suffix n-gram
     lookup. Tries n-gram sizes from ngram_max down to ngram_min and returns
     the continuation after the MOST RECENT earlier occurrence of the longest
-    matching suffix; [] if nothing matches."""
+    matching suffix; [] if nothing matches. `lookback` bounds the scan (the
+    vectorized match is O(context); 8Ki tokens ≈ 30 µs, so even 16 drafting
+    rows cost well under a decode step — unbounded 512Ki contexts would not)."""
+    if tokens.shape[0] > lookback:
+        tokens = tokens[-lookback:]
     L = int(tokens.shape[0])
     if k <= 0 or L < ngram_min + 1:
         return []
