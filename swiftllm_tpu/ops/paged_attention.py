@@ -1019,6 +1019,11 @@ def ragged_paged_attention(q, cache3, layer, batch, *, n_kv: int,
         staged = (staged_pt if staged_pt is not None
                   else Bp * Pg_p * 4 > SMEM_BYTES - SMEM_HEADROOM)
         if staged:
+            # The per-row staging DMA (pt_hbm.at[b] -> SMEM) requires the
+            # table's minor dim be a full lane tile; pad Pg up to 128.
+            if Pg_p % 128:
+                pt_g = jnp.pad(pt_g, ((0, 0), (0, 128 - Pg_p % 128)))
+                Pg_p = pt_g.shape[1]
             assert Pg_p <= staged_pages_cap(), (
                 f"pages/seq {Pg_p} exceeds the HBM-staged page-table cap "
                 f"{staged_pages_cap()} (≈{staged_pages_cap() * page_size} "
@@ -1116,6 +1121,10 @@ def ragged_paged_attention(q, cache3, layer, batch, *, n_kv: int,
     staged = (staged_pt if staged_pt is not None
               else B * Pg_p * 4 > SMEM_BYTES - SMEM_HEADROOM)
     if staged:
+        # Lane-tile alignment for the per-row staging DMA (see decode path).
+        if Pg_p % 128:
+            pt = jnp.pad(pt, ((0, 0), (0, 128 - Pg_p % 128)))
+            Pg_p = pt.shape[1]
         assert Pg_p * 4 <= SMEM_BYTES - 2 * SMEM_HEADROOM, \
             f"pages/seq {Pg_p} exceeds the tile kernel's staged SMEM budget"
         scalars = (layer_arr, batch.q_starts, batch.q_lens, batch.seq_lens,

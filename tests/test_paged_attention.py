@@ -373,9 +373,12 @@ def test_sliding_window_twin_vs_dense_oracle():
     window = 6
     specs = [(1, 23), (5, 13), (9, 9)]
     q, cache, batch, qb = make_case(rng, specs)
-    got = _ragged_paged_attention_jnp(q, cache, batch, page_size=8,
-                                      sm_scale=0.125, q_bucket=qb,
-                                      window=window)
+    # Full f32 matmul precision: this test holds the jnp twin to a 1e-5
+    # oracle tolerance, which the TPU's default bf16-pass f32 matmuls miss.
+    with jax.default_matmul_precision("highest"):
+        got = _ragged_paged_attention_jnp(q, cache, batch, page_size=8,
+                                          sm_scale=0.125, q_bucket=qb,
+                                          window=window)
     cache_np = np.asarray(cache)
     pt = np.asarray(batch.page_table)
     for b, (q_len, seq_len) in enumerate(specs):
