@@ -48,7 +48,9 @@ def _pick_tiles(N: int, KH: int, itemsize_x: int) -> tuple[int, int] | None:
     tile = 0
     budget = 1 << 20
     for t in (512, 384, 256, 128, 96, 64, 32):
-        if N % t == 0 and t * chunk <= budget:
+        # The scales block's minor dim is TILE_N: Mosaic needs it lane-tile
+        # divisible unless the block spans the whole N dimension.
+        if N % t == 0 and t * chunk <= budget and (t % 128 == 0 or t == N):
             tile = t
             break
     if tile == 0:
@@ -78,7 +80,7 @@ def _kernel(layer_ref, x_lo_ref, x_hi_ref, q4_ref, s_ref, o_ref, acc_ref,
 
     @pl.when(k == nk - 1)
     def _():
-        o_ref[...] = (acc_ref[...] * s_ref[...].astype(jnp.float32)
+        o_ref[...] = (acc_ref[...] * s_ref[0].astype(jnp.float32)
                       ).astype(out_dtype)
 
 
@@ -114,7 +116,11 @@ def int4_proj_stacked(x: jax.Array, q4: jax.Array, s: jax.Array,
             pl.BlockSpec((Tp, CHUNK_KH), lambda n, k, lr, nk=nK: (0, nk + k)),
             pl.BlockSpec((1, TILE_N, CHUNK_KH),
                          lambda n, k, lr: (lr[0], n, k)),            # packed w
-            pl.BlockSpec((1, TILE_N), lambda n, k, lr: (lr[0], n)),  # scales
+            # Scales ride as [L, 1, N] so the BLOCK's last two dims are
+            # (1, TILE_N) with the 1 spanning its whole (size-1) array dim —
+            # a [L, N] block (1, TILE_N) puts the size-1 over L and violates
+            # Mosaic's (8, 128) block-tiling rule.
+            pl.BlockSpec((1, 1, TILE_N), lambda n, k, lr: (lr[0], 0, n)),
         ],
         out_specs=pl.BlockSpec((Tp, TILE_N), lambda n, k, lr: (0, n)),
         scratch_shapes=[pltpu.VMEM((Tp, TILE_N), jnp.float32)],
@@ -127,5 +133,6 @@ def int4_proj_stacked(x: jax.Array, q4: jax.Array, s: jax.Array,
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(jnp.reshape(layer.astype(jnp.int32), (1,)), xp, xp, q4, s)
+    )(jnp.reshape(layer.astype(jnp.int32), (1,)), xp, xp, q4,
+      s.reshape(L, 1, N))
     return out[:T]
