@@ -84,6 +84,13 @@ def _decode_r() -> int:
     return int(os.environ.get("SWIFTLLM_DECODE_R", "4"))
 
 
+def _decode_split() -> bool:
+    """Contract K and V in separate half-width block-diagonal matmuls (vs one
+    combined-width matmul whose V half multiplies q_blk zeros). Halves MXU
+    work but adds per-chunk lane-slice relayouts; env-sweepable on chip."""
+    return os.environ.get("SWIFTLLM_DECODE_SPLIT", "1") == "1"
+
+
 
 
 def staged_pages_cap() -> int:
@@ -520,17 +527,27 @@ def _decode_kernel_grouped(
         def _():
             start_grp(g_next, cn_next, (base + cn_next) % 2)
 
-        # --- build the double-block-diagonal q [R*n_q, R*W] ------------------
+        # --- build the double-block-diagonal q [R*n_q, R*KW] -----------------
+        # KW: lane width of one row block in score space. When KH is a full
+        # lane tile the kernel SPLITS K and V into separate [chunk, R*KH]
+        # views (built per chunk from lane slices of the combined DMA buffer),
+        # halving both block-diagonal matmuls' contraction/output width — the
+        # combined-width form burns half its MXU work on q_blk's zero V lanes
+        # (measured 59 µs/layer at 1B b64; matmuls were ~35 µs of it).
+        # Misaligned shapes (KH % 128 != 0, tests/tiny models) keep the
+        # combined width, where (col % W) // hd >= n_kv on V lanes never
+        # matches a q row's kv head, so the V half stays zero.
+        split = (KH % 128 == 0) and _decode_split()
+        KW = KH if split else W
         q = q_ref[...]                                     # [R*n_q, hd]
         RN, RW = R * n_q, R * W
-        row_iota = jax.lax.broadcasted_iota(jnp.int32, (RN, RW), 0)
-        col_iota = jax.lax.broadcasted_iota(jnp.int32, (RN, RW), 1)
-        on_diag = (row_iota // n_q) == (col_iota // W)      # same group-row
-        h_match = ((row_iota % n_q) // group) == ((col_iota % W) // hd)
-        # (col_iota % W) // hd >= n_kv on V-half lanes never equals a kv head
-        # of a q row, so the V half stays zero.
+        RK = R * KW
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (RN, RK), 0)
+        col_iota = jax.lax.broadcasted_iota(jnp.int32, (RN, RK), 1)
+        on_diag = (row_iota // n_q) == (col_iota // KW)     # same group-row
+        h_match = ((row_iota % n_q) // group) == ((col_iota % KW) // hd)
         q_blk = jnp.where(on_diag & h_match,
-                          jnp.concatenate([q] * (R * W // hd), axis=1), 0)
+                          jnp.concatenate([q] * (RK // hd), axis=1), 0)
 
         # Per-row scalar vectors broadcast to compute shapes.
         def per_row_rows(vals):
@@ -565,15 +582,25 @@ def _decode_kernel_grouped(
             # Regions never DMA'd hold zeros or a previous row's finite KV
             # (buffers zero-filled at g == 0): the causal mask turns their
             # probabilities into exact zeros, so no data masking is needed.
-            kv2 = kv_buf[slot].astype(q_blk.dtype)          # [chunk, RW]
+            kvb = kv_buf[slot]                              # [chunk, RW]
+            if split:
+                k2 = jnp.concatenate(
+                    [kvb[:, r * W:r * W + KH] for r in range(R)],
+                    axis=1).astype(q_blk.dtype)             # [chunk, R*KH]
+                v2 = jnp.concatenate(
+                    [kvb[:, r * W + KH:r * W + 2 * KH] for r in range(R)],
+                    axis=1).astype(q_blk.dtype)
+            else:
+                k2 = v2 = kvb.astype(q_blk.dtype)           # [chunk, RW]
 
             sc = jax.lax.dot_general(
-                q_blk, kv2, (((1,), (1,)), ((), ())),
+                q_blk, k2, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * sm_scale  # [RN, chunk]
             if SL:
                 # fp8: scores/probs carry the stored scales; divide them out
-                # in SCORE space (per key, per row block).
-                inv = per_key_inv_scales(E, kv2)             # [2R, chunk]
+                # in SCORE space (per key, per row block). The selector needs
+                # the COMBINED buffer (scale lanes live past the V half).
+                inv = per_key_inv_scales(E, kvb.astype(q_blk.dtype))
                 kmat = jnp.zeros((RN, chunk), jnp.float32)
                 vmat = jnp.zeros((RN, chunk), jnp.float32)
                 for r in range(R):
@@ -595,15 +622,15 @@ def _decode_kernel_grouped(
             li = l * scale + jnp.sum(pr, axis=-1, keepdims=True)
             pr_v = (pr * vmat) if SL else pr    # un-scale V via the probs
             pv = jax.lax.dot_general(
-                pr_v.astype(q.dtype), kv2,
+                pr_v.astype(q.dtype), v2,
                 (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)          # [RN, RW]
-            # Extract each row block's OWN V half.
+                preferred_element_type=jnp.float32)          # [RN, R*KW]
+            # Extract each row block's OWN V block.
             row_r = jax.lax.broadcasted_iota(jnp.int32, (RN, KH), 0) // n_q
             own_v = jnp.zeros((RN, KH), jnp.float32)
             for r in range(R):
-                own_v = jnp.where(row_r == r,
-                                  pv[:, r * W + KH:r * W + 2 * KH], own_v)
+                off = r * KW if split else r * W + KH
+                own_v = jnp.where(row_r == r, pv[:, off:off + KH], own_v)
             return (mi, li, acc * scale + own_v)
 
         m, l, acc = jax.lax.fori_loop(c_lo, nc, body, (m0, l0, a0))
@@ -615,7 +642,10 @@ def _decode_kernel_grouped(
         bi = jax.lax.broadcasted_iota(jnp.int32, (br, 1), 0)
         knew_cat = jnp.sum(jnp.where(bi == g % br, blk_rows, 0),
                            axis=0, keepdims=True)            # [1, RW] stored
-        s_new = jnp.sum(q_blk.astype(jnp.float32) * knew_cat,
+        knew_k = (jnp.concatenate(
+            [knew_cat[:, r * W:r * W + KH] for r in range(R)], axis=1)
+            if split else knew_cat)                          # [1, R*KW]
+        s_new = jnp.sum(q_blk.astype(jnp.float32) * knew_k,
                         axis=-1, keepdims=True) * sm_scale   # [RN, 1]
         if SL:
             kcol = jnp.zeros((RN, 1), jnp.float32)
