@@ -115,6 +115,10 @@ def build_parser():
                    help="seed KV pages directly (cache zeros) instead of "
                         "running prefill — decode timing is identical, setup "
                         "is O(1) instead of O(context)")
+    p.add_argument("--multi-step", type=int, default=1,
+                   help="decode mode: scan S decode steps inside one "
+                        "program (on-device feedback feeds tokens between "
+                        "inner steps) — amortizes per-dispatch overhead")
     p.add_argument("--spec-k", type=int, default=0,
                    help="decode mode: verify K drafts per row per step "
                         "(speculative-decoding span steps at full acceptance; "
@@ -277,7 +281,7 @@ def run_one(args):
         ffn_inter_dim=F, vocab_size=V, max_position_embeddings=131072,
         rms_norm_eps=1e-5, rope_theta=10000.0)
 
-    total_len = args.context + args.steps + 8
+    total_len = args.context + args.steps * max(args.multi_step, 1) + 8
     from swiftllm_tpu.utils import cdiv, next_power_of_2
     pages_per_seq = next_power_of_2(cdiv(total_len, args.block_size))
     ec = EngineConfig(
@@ -322,6 +326,8 @@ def run_one(args):
             r.lora_slot = i % (args.lora + 1)
         reqs.append(r)
 
+    ms = max(args.multi_step, 1)
+
     def apply(tokens_dev, rows):
         """Count-level effects only; token values stay on device (the feedback
         buffer feeds them to the next step — no host sync in the loop)."""
@@ -333,6 +339,11 @@ def run_one(args):
                 # confirmed (token values are irrelevant to step timing).
                 s.request.output_token_ids.extend([0] * s.n_tokens)
                 s.request.num_cached_tokens += s.n_tokens
+                continue
+            if s.samples_token and ms > 1:
+                # Multi-step decode: S tokens sampled per dispatch.
+                s.request.output_token_ids.extend([None] * ms)
+                s.request.num_cached_tokens += ms
                 continue
             if s.samples_token:
                 s.request.output_token_ids.append(None)
@@ -408,22 +419,23 @@ def run_one(args):
                     for r in reqs]
         return [ScheduledSeq(r, 1) for r in reqs]
 
-    jax.block_until_ready(apply(*model.forward_async(decode_sched())))
+    jax.block_until_ready(apply(*model.forward_async(decode_sched(),
+                                                     multi_step=ms)))
     t("decode compile")
 
     t0 = time.perf_counter()
     last = None
     for _ in range(args.steps):
-        last = apply(*model.forward_async(decode_sched()))
+        last = apply(*model.forward_async(decode_sched(), multi_step=ms))
     jax.block_until_ready(last)
     dt = time.perf_counter() - t0
     t("decode timed")
-    tok_per_s = args.batch * args.steps * (1 + spec_k) / dt
+    tok_per_s = args.batch * args.steps * (1 + spec_k) * ms / dt
 
     # speed-of-light roofline
     weight_bytes = sum(x.nbytes for x in jax.tree.leaves(model.params))
     kv_per_seq = (2 * L * model.num_kv_eff * hd * model.kv_dtype.itemsize
-                  * (args.context + args.steps // 2))
+                  * (args.context + args.steps * ms // 2))
     kind = dev.device_kind.lower()
     bw = next((v for k, v in HBM_BW.items() if k in kind), HBM_BW["cpu"])
     if not on_tpu:
@@ -438,6 +450,8 @@ def run_one(args):
 
     lora_tag = f"_lora{args.lora}" if args.lora else ""
     spec_tag = f"_speck{spec_k}" if spec_k else ""
+    if ms > 1:
+        spec_tag += f"_ms{ms}"
     print(json.dumps({
         "metric": f"decode_throughput_{args.model}_b{args.batch}_c{args.context}{quant_tag}{kv_tag}{lora_tag}{spec_tag}",
         "value": round(tok_per_s, 2),

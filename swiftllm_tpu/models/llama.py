@@ -629,13 +629,84 @@ def forward_shard(
 
 
 
+def advance_decode_batch(batch: StepBatch, s: jax.Array, *, page_size: int,
+                         garbage_slot: int) -> StepBatch:
+    """Shift a pure-decode StepBatch ``s`` decode steps forward, ON DEVICE.
+
+    Used by the multi-step decode program: the host builds the batch for the
+    first step only; inner step ``s`` derives its positions / KV slots /
+    sequence lengths / PRNG seeds here, and reads its input tokens from the
+    feedback buffer (where inner step ``s-1`` wrote its samples). Pad tokens
+    keep writing to the garbage slot. Pages for all S steps were allocated by
+    the batch builder, so the page table is already complete.
+    """
+    T = batch.token_ids.shape[0]
+    B = batch.q_lens.shape[0]
+    Pg = batch.page_table.shape[1]
+    live_row = batch.q_lens > 0                                    # [B]
+    t_iota = jnp.arange(T, dtype=jnp.int32)
+    row_of_t = jnp.clip(t_iota, 0, B - 1)   # decode contract: token t == row t
+    live_t = (t_iota < B) & live_row[row_of_t]
+    pos = batch.positions + s
+    pidx = jnp.clip(pos // page_size, 0, Pg - 1)
+    page = batch.page_table[row_of_t, pidx]                        # [T]
+    slots = jnp.where(live_t, page * page_size + pos % page_size,
+                      garbage_slot)
+    # After the first inner step every live row's token comes from its OWN
+    # feedback slot (multi-step batches sample every row — builder asserts).
+    fw_t = jnp.where(batch.sample_mask[row_of_t],
+                     batch.feedback_write[row_of_t], -1)
+    feedback_read = jnp.where(s == 0, batch.feedback_read,
+                              jnp.where(live_t, fw_t, -1))
+    return dataclasses.replace(
+        batch,
+        positions=jnp.where(live_t, pos, 0),
+        kv_slots=slots,
+        seq_lens=jnp.where(live_row, batch.seq_lens + s, 0),
+        feedback_read=feedback_read,
+        seeds=batch.seeds + s.astype(jnp.uint32),
+    )
+
+
+def decode_multi_step(params, kv_cache, feedback, batch: StepBatch, *,
+                      multi_step: int, page_size: int,
+                      return_logprobs: bool = False, **fwd_kwargs):
+    """Run S pure-decode steps in ONE program: ``lax.scan`` over
+    ``forward_shard`` with (kv_cache, feedback) as carry.
+
+    Per-dispatch overhead — program launch, the H2D packed-batch transfer and
+    the D2H token fetch, ~1 ms total on a tunneled v5e — is paid once per S
+    tokens instead of per token. Tokens come out [B_local * S] row-major
+    (row b's inner step s at ``b*S + s``), the same layout as spec-verify
+    spans, so the host resolve path is shared.
+    """
+    def body(carry, s):
+        cache, fb = carry
+        bs = advance_decode_batch(batch, s, page_size=page_size,
+                                  garbage_slot=cache.shape[1] - page_size)
+        out = forward_shard(params, cache, fb, bs, page_size=page_size,
+                            return_logprobs=return_logprobs, **fwd_kwargs)
+        tokens, cache, fb = out[0], out[1], out[2]
+        ys = (tokens,) + ((out[3],) if return_logprobs else ())
+        return (cache, fb), ys
+
+    (kv_cache, feedback), ys = jax.lax.scan(
+        body, (kv_cache, feedback),
+        jnp.arange(multi_step, dtype=jnp.int32))
+    tokens = jnp.swapaxes(ys[0], 0, 1).reshape(-1)        # [B*S] row-major
+    out = (tokens, kv_cache, feedback)
+    if return_logprobs:
+        out += (jnp.swapaxes(ys[1], 0, 1).reshape(-1),)
+    return out
+
+
 def make_step_fn(mesh, cfg: LlamaModelConfig, *, page_size: int, q_bucket: int,
                  use_pallas: bool, T: int, B: int, Pg: int,
                  return_logits: bool = False, quant: str = "none",
                  use_sampler: bool = True, fp8_scaled: bool = False,
                  return_logprobs: bool = False,
                  lora_targets: tuple[str, ...] = (),
-                 sample_span: int = 0):
+                 sample_span: int = 0, multi_step: int = 1):
     """Build the jitted SPMD step. KV cache and feedback buffer are donated.
     The batch arrives as ONE packed i32 buffer (see pack_step_batch) — a
     single host→device transfer per step."""
@@ -652,8 +723,17 @@ def make_step_fn(mesh, cfg: LlamaModelConfig, *, page_size: int, q_bucket: int,
                  + ((P(),) if return_logprobs else ())
                  + ((P(AXIS_DP, None),) if return_logits else ()))
 
+    assert multi_step <= 1 or (sample_span == 0 and not return_logits), \
+        "multi_step is a pure-decode variant (no spec spans, no logits)"
+
     def step(params, kv_cache, feedback, flat_batch):
         batch = unpack_step_batch(flat_batch, T, B, Pg)
+        if multi_step > 1:
+            return decode_multi_step(
+                params, kv_cache, feedback, batch, multi_step=multi_step,
+                cfg=cfg, page_size=page_size, q_bucket=q_bucket,
+                use_pallas=use_pallas, use_sampler=use_sampler,
+                fp8_scaled=fp8_scaled, return_logprobs=return_logprobs)
         return forward_shard(params, kv_cache, feedback, batch, cfg=cfg,
                              page_size=page_size, q_bucket=q_bucket,
                              use_pallas=use_pallas,

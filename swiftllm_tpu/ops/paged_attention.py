@@ -819,75 +819,119 @@ def _tiles_kernel(
         q_pos = (seq_len - q_len + t * span
                  + jax.lax.broadcasted_iota(jnp.int32, (NG, 1), 0) % span)
 
+        # Online softmax runs in LOG2 space: raw scores are multiplied by
+        # sm_scale*log2(e) INSIDE the exp2 argument (one fused pass) instead
+        # of a standalone scale pass + exp's internal log2e multiply. At
+        # hd=64 the softmax's elementwise VPU work rivals the score matmuls'
+        # MXU time, so shaving passes over [NG, chunk] is first-order.
+        K2E = sm_scale * 1.4426950408889634
         m0 = jnp.full((n_kv, NG, 1), NEG_INF, jnp.float32)
         l0 = jnp.zeros((n_kv, NG, 1), jnp.float32)
         a0 = jnp.zeros((n_kv, NG, hd), jnp.float32)
 
-        def body(c, carry):
-            m, l, acc = carry
-            slot = jax.lax.rem(c, 2)
+        def make_body(masked):
+            """Chunk body. NOTE: a two-phase loop (mask-free chunks below the
+            causal diagonal, masked tail) measured 13% SLOWER than one masked
+            loop on v5e — splitting the fori_loop breaks the chunk-DMA
+            software pipeline across the boundary — so the kernel always
+            runs the masked body; the ``masked`` knob is kept for the
+            (cheap, single-phase) geometry experiments."""
 
-            @pl.when(c + 1 < num_chunks)
-            def _():
-                start_chunk(b, c + 1, jax.lax.rem(c + 1, 2), pages_needed,
-                            dma_sel)
+            def body(c, carry):
+                m, l, acc = carry
+                slot = jax.lax.rem(c, 2)
 
-            wait_chunk(slot, c * chunk_pages, pages_needed, dma_sel)
-            kv2 = kv_buf[slot].reshape(chunk, W)
-            key_pos = c * chunk + jax.lax.broadcasted_iota(
-                jnp.int32, (1, chunk), 1)
-            # Zero rows never DMA'd (stale/uninit VMEM): 0 * NaN poisons p@v.
-            key_col = (c * chunk + jax.lax.broadcasted_iota(
-                jnp.int32, (chunk, 1), 0))
-            kv2 = jnp.where(
-                key_col < pages_needed * (chunk // chunk_pages), kv2, 0)
-            if W > 2 * KH:
-                # fp8 per-token scales: recover in SCORE space via a one-hot
-                # selector matmul (MXU transposes the scale column for free).
-                ri2 = jax.lax.broadcasted_iota(jnp.int32, (2, W), 0)
-                ci2 = jax.lax.broadcasted_iota(jnp.int32, (2, W), 1)
-                E2 = (ci2 == 2 * KH + ri2).astype(q4.dtype)
-                sel = jax.lax.dot_general(
-                    E2, kv2.astype(q4.dtype), (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                inv2 = 1.0 / jnp.maximum(sel, 1e-20)
-                krow, vrow = inv2[0:1], inv2[1:2]            # [1, chunk]
-            else:
-                krow = vrow = None
-            valid = (key_pos <= q_pos) & (key_pos < seq_len)   # [NG, chunk]
-            # Sliding window: keys in (q_pos - window, q_pos] only. Masked at
-            # WIN_NEG (below m0) because early chunks can be window-masked in
-            # FULL — see the WIN_NEG comment.
-            in_win = (key_pos > q_pos - window) if window else None
+                @pl.when(c + 1 < num_chunks)
+                def _():
+                    start_chunk(b, c + 1, jax.lax.rem(c + 1, 2), pages_needed,
+                                dma_sel)
 
-            new_m, new_l, new_acc = [], [], []
-            for h in range(n_kv):
-                qh = qh_rows(h)                              # [NG, hd]
-                kh = kv2[:, h * hd:(h + 1) * hd]
-                vh = kv2[:, KH + h * hd:KH + (h + 1) * hd]
-                s = jax.lax.dot_general(
-                    qh, kh.astype(qh.dtype), (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32) * sm_scale
-                if krow is not None:
-                    s = s * krow
-                s = jnp.where(valid, s, NEG_INF)
-                if in_win is not None:
-                    s = jnp.where(in_win, s, WIN_NEG)
-                mi = jnp.maximum(m[h], jnp.max(s, axis=-1, keepdims=True))
-                p = jnp.exp(s - mi)
-                scale = jnp.exp(m[h] - mi)
-                li = l[h] * scale + jnp.sum(p, axis=-1, keepdims=True)
-                p_v = p * vrow if vrow is not None else p
-                ai = acc[h] * scale + jax.lax.dot_general(
-                    p_v.astype(qh.dtype), vh.astype(qh.dtype),
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                new_m.append(mi)
-                new_l.append(li)
-                new_acc.append(ai)
-            return (jnp.stack(new_m), jnp.stack(new_l), jnp.stack(new_acc))
+                wait_chunk(slot, c * chunk_pages, pages_needed, dma_sel)
+                kv2 = kv_buf[slot].reshape(chunk, W)
+                if masked:
+                    key_pos = c * chunk + jax.lax.broadcasted_iota(
+                        jnp.int32, (1, chunk), 1)
+                    # Zero rows never DMA'd (stale VMEM): 0 * NaN poisons p@v.
+                    key_col = (c * chunk + jax.lax.broadcasted_iota(
+                        jnp.int32, (chunk, 1), 0))
+                    kv2 = jnp.where(
+                        key_col < pages_needed * (chunk // chunk_pages), kv2, 0)
+                if W > 2 * KH:
+                    # fp8 per-token scales: recover in SCORE space via a
+                    # one-hot selector matmul (MXU transposes the scale
+                    # column for free).
+                    ri2 = jax.lax.broadcasted_iota(jnp.int32, (2, W), 0)
+                    ci2 = jax.lax.broadcasted_iota(jnp.int32, (2, W), 1)
+                    E2 = (ci2 == 2 * KH + ri2).astype(q4.dtype)
+                    sel = jax.lax.dot_general(
+                        E2, kv2.astype(q4.dtype), (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    inv2 = 1.0 / jnp.maximum(sel, 1e-20)
+                    # Fold the log2-space conversion (or, for window models
+                    # which stay in linear space, sm_scale) into the unscale.
+                    krow = inv2[0:1] * (sm_scale if window else K2E)
+                    vrow = inv2[1:2]                         # [1, chunk]
+                else:
+                    krow = vrow = None
+                if masked:
+                    valid = (key_pos <= q_pos) & (key_pos < seq_len)
+                    # Sliding window: keys in (q_pos - window, q_pos] only.
+                    # Masked at WIN_NEG (below m0) because early chunks can
+                    # be window-masked in FULL — see the WIN_NEG comment.
+                    in_win = (key_pos > q_pos - window) if window else None
 
-        m, l, acc = jax.lax.fori_loop(c_lo, num_chunks, body, (m0, l0, a0))
+                new_m, new_l, new_acc = [], [], []
+                for h in range(n_kv):
+                    qh = qh_rows(h)                          # [NG, hd]
+                    kh = kv2[:, h * hd:(h + 1) * hd]
+                    vh = kv2[:, KH + h * hd:KH + (h + 1) * hd]
+                    s = jax.lax.dot_general(
+                        qh, kh.astype(qh.dtype), (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)  # RAW scores
+                    if krow is not None:   # fp8: per-key unscale (+scale)
+                        s = s * krow
+                    elif window:
+                        s = s * sm_scale   # linear space (WIN_NEG sentinel
+                                           # ordering vs NEG_INF needs it)
+                    if masked:
+                        s = jnp.where(valid, s, NEG_INF)
+                        if in_win is not None:
+                            s = jnp.where(in_win, s, WIN_NEG)
+                    if window:
+                        mi = jnp.maximum(
+                            m[h], jnp.max(s, axis=-1, keepdims=True))
+                        p = jnp.exp(s - mi)
+                        scale = jnp.exp(m[h] - mi)
+                    else:
+                        # m/l live in LOG2 space: the row max of the raw
+                        # scores is rescaled on the [NG, 1] axis (cheap) and
+                        # exp2's fused multiply applies K2E to the full tile
+                        # in one pass — no standalone sm_scale pass, no
+                        # exp-internal log2e multiply.
+                        if krow is None:
+                            mi = jnp.maximum(
+                                m[h], jnp.max(s, axis=-1, keepdims=True) * K2E)
+                            p = jnp.exp2(s * K2E - mi)
+                        else:   # fp8: krow already folded K2E into s
+                            mi = jnp.maximum(
+                                m[h], jnp.max(s, axis=-1, keepdims=True))
+                            p = jnp.exp2(s - mi)
+                        scale = jnp.exp2(m[h] - mi)
+                    li = l[h] * scale + jnp.sum(p, axis=-1, keepdims=True)
+                    p_v = p * vrow if vrow is not None else p
+                    ai = acc[h] * scale + jax.lax.dot_general(
+                        p_v.astype(qh.dtype), vh.astype(qh.dtype),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    new_m.append(mi)
+                    new_l.append(li)
+                    new_acc.append(ai)
+                return (jnp.stack(new_m), jnp.stack(new_l), jnp.stack(new_acc))
+
+            return body
+
+        m, l, acc = jax.lax.fori_loop(c_lo, num_chunks, make_body(True),
+                                      (m0, l0, a0))
         for h in range(n_kv):
             out_h = acc[h] / jnp.maximum(l[h], 1e-30)        # [NG, hd]
             if hdp > hd:

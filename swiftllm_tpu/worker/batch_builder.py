@@ -38,6 +38,9 @@ class BucketKey:
     spec: int = 0      # >0 → speculative-verify step: the sampling head reads
                        # EVERY span position (S1 = this value = q_len) instead
                        # of each row's last token; tokens come out [B*S1]
+    steps: int = 1     # >1 → multi-step decode: S decode steps scanned inside
+                       # one program (pure-decode batches only); tokens come
+                       # out [B*S] row-major. Amortizes per-dispatch overhead.
 
 
 def _pick_bucket(buckets: tuple[int, ...], needed: int, hard: bool = False) -> int:
@@ -49,11 +52,15 @@ def _pick_bucket(buckets: tuple[int, ...], needed: int, hard: bool = False) -> i
     return next_power_of_2(needed)
 
 
-def select_buckets(groups: list[list[ScheduledSeq]], cfg: EngineConfig) -> BucketKey:
+def select_buckets(groups: list[list[ScheduledSeq]], cfg: EngineConfig,
+                   multi_step: int = 1) -> BucketKey:
     """Decode-kind rows (n_tokens == 1) pack densely; prefill rows tile-align."""
     max_rows = max(len(g) for g in groups)
     max_q = max((s.n_tokens for g in groups for s in g), default=1)
     spec = any(s.drafts for g in groups for s in g)
+    if multi_step > 1:
+        assert not spec and max_q == 1, \
+            "multi_step requires a pure-decode batch (1 token per row)"
     if spec:
         # Speculative-verify step: q bucket PINNED to the configured span so
         # varying per-step draft counts reuse one compiled program. The
@@ -78,7 +85,9 @@ def select_buckets(groups: list[list[ScheduledSeq]], cfg: EngineConfig) -> Bucke
         return cdiv(n_dec, align) * align + pre if pre else n_dec
 
     max_tokens = max(group_tokens(g) for g in groups)
-    max_pages = max((cdiv(s.request.num_cached_tokens + s.n_tokens, cfg.block_size)
+    extra = multi_step - 1   # multi-step decode writes S tokens' KV per row
+    max_pages = max((cdiv(s.request.num_cached_tokens + s.n_tokens + extra,
+                          cfg.block_size)
                      for g in groups for s in g), default=1)
     # The ROWS bucket is pinned to max_batch_size: masked pad rows cost ~1 µs
     # each in the kernels, while every distinct bucket tuple is a separate
@@ -110,6 +119,7 @@ def select_buckets(groups: list[list[ScheduledSeq]], cfg: EngineConfig) -> Bucke
         sampling=int(any(s.request.temperature > 0
                          for g in groups for s in g)),
         spec=q_len if spec else 0,
+        steps=max(multi_step, 1),
     )
 
 
@@ -118,16 +128,24 @@ def build_step_batch(
     block_mgrs: list[BlockManager],
     cfg: EngineConfig,
     key: BucketKey | None = None,
+    multi_step: int = 1,
 ) -> tuple[StepBatch, BucketKey, list[ScheduledSeq]]:
     """Allocate pages for every scheduled token and assemble the numpy StepBatch.
 
     Returns (batch, bucket_key, rows) where rows[i] is the ScheduledSeq whose
     sampled token is out_tokens[i] (global row order, group-major).
+
+    ``multi_step`` S > 1 (pure-decode batches): pages are allocated for S
+    tokens per row up front; the device program advances the batch between
+    its S inner steps (models.llama.advance_decode_batch). Every live row
+    must sample its own next token (asserted) — the feedback buffer is the
+    only token source for inner steps 1..S-1.
     """
     assert len(groups) == len(block_mgrs)
     dp = len(groups)
     if key is None:
-        key = select_buckets(groups, cfg)
+        key = select_buckets(groups, cfg, multi_step)
+    ms_extra = key.steps - 1
     T, B, Pg, Q = key.tokens, key.rows, key.pages, key.q_len
     ps = cfg.block_size
     align = tile_q_for(Q)
@@ -165,9 +183,9 @@ def build_step_batch(
         ends = np.fromiter((r.num_cached_tokens + 1 for r in reqs), np.int64, n)
         pos = ends - 1
         have = mgr.num_seq_allocated_blocks[seq_ids]
-        need = (ends + ps - 1) // ps
+        need = (ends + ms_extra + ps - 1) // ps
         for i in np.nonzero(need > have)[0]:
-            mgr.allocate_for_seq(int(seq_ids[i]), int(ends[i]))
+            mgr.allocate_for_seq(int(seq_ids[i]), int(ends[i]) + ms_extra)
         assert int(need.max(initial=0)) <= Pg, \
             f"dp group {g}: {int(need.max())} pages > bucket {Pg}"
         pt = mgr.block_table[seq_ids, :Pg]                   # [n, Pg]
@@ -194,6 +212,8 @@ def build_step_batch(
             (getattr(r, "lora_slot", 0) for r in reqs), np.int32, n)
         samples = np.fromiter((r.num_cached_tokens + 1 == r.total_len
                                for r in reqs), bool, n)
+        assert ms_extra == 0 or samples.all(), \
+            "multi-step rows must all sample (feedback is the token source)"
         sample_mask[g, :n] = samples
         feedback_write[g, :n] = np.where(samples, seq_ids, garbage_fb_slot)
         temperature[g, :n] = np.fromiter((r.temperature for r in reqs),
@@ -215,6 +235,8 @@ def build_step_batch(
         if group and all(s.n_tokens == 1 for s in group):
             fill_decode_group(g, group, mgr)
             continue
+        assert ms_extra == 0 or not group, \
+            "multi-step batches must be pure decode (1 token per row)"
         # Decode-kind rows FIRST and packed densely so flat token == row index
         # (the fused decode kernel's contract); prefill spans follow,
         # tile-aligned for the tile kernel's DMAs.

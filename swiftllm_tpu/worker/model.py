@@ -262,7 +262,7 @@ class LlamaModel:
                 fp8_scaled=self.engine_config.kv_quant == "fp8",
                 return_logprobs=self.engine_config.enable_logprobs,
                 lora_targets=self.lora_targets,
-                sample_span=key.spec)
+                sample_span=key.spec, multi_step=key.steps)
         return self._step_fns[k]
 
     def _lower(self, key: BucketKey, num_blocks: int):
@@ -287,7 +287,7 @@ class LlamaModel:
 
     def forward_async(self, scheduled: list[ScheduledSeq],
                       groups: list[list[ScheduledSeq]] | None = None,
-                      return_logits: bool = False):
+                      return_logits: bool = False, multi_step: int = 1):
         """Dispatch one step WITHOUT waiting for the result.
 
         Returns (tokens, rows[, logits]) where ``tokens`` is a DEVICE array
@@ -303,7 +303,8 @@ class LlamaModel:
             assert self.dp == 1, "pass explicit dp groups when dp > 1"
             groups = [scheduled]
         batch_np, key, rows = build_step_batch(groups, self.hbm_block_mgrs,
-                                               self.engine_config)
+                                               self.engine_config,
+                                               multi_step=multi_step)
         from swiftllm_tpu.worker.batch_builder import pack_step_batch
         flat_np = pack_step_batch(batch_np, self.dp)
         if jax.process_count() > 1:
@@ -348,11 +349,12 @@ class LlamaModel:
 
     def forward(self, scheduled: list[ScheduledSeq],
                 groups: list[list[ScheduledSeq]] | None = None,
-                return_logits: bool = False):
+                return_logits: bool = False, multi_step: int = 1):
         """Run one step synchronously. Returns (tokens i32[dp*B_bucket], rows)
         — rows[i] is the ScheduledSeq for row i (None for padding). The caller
-        applies tokens to requests where ``rows[i].samples_token``."""
-        out = self.forward_async(scheduled, groups, return_logits)
+        applies tokens to requests where ``rows[i].samples_token``. With
+        ``multi_step`` S > 1 tokens come out [dp*B_bucket*S], row-major."""
+        out = self.forward_async(scheduled, groups, return_logits, multi_step)
         if return_logits:
             tokens, rows, logits = out
             return (np.asarray(jax.device_get(tokens)), rows,
