@@ -281,7 +281,11 @@ def run_one(args):
         ffn_inter_dim=F, vocab_size=V, max_position_embeddings=131072,
         rms_norm_eps=1e-5, rope_theta=10000.0)
 
-    total_len = args.context + args.steps * max(args.multi_step, 1) + 8
+    # Each timed step appends multi_step tokens per row — or 1+spec_k for
+    # speculative-verify spans (every draft is force-accepted at full-
+    # acceptance benchmarking, so the sequence grows by the whole span).
+    per_step = max(args.multi_step, 1) * (1 + args.spec_k)
+    total_len = args.context + args.steps * per_step + 8
     from swiftllm_tpu.utils import cdiv, next_power_of_2
     pages_per_seq = next_power_of_2(cdiv(total_len, args.block_size))
     ec = EngineConfig(

@@ -79,6 +79,16 @@ class EngineConfig:
                                        # device→host copy latency (EOS can overshoot
                                        # by up to this many speculative tokens)
 
+    multi_step_decode: int = 1         # scan S pure-decode steps inside ONE
+                                       # jitted program when the whole batch
+                                       # is in decode stage (models/llama.py
+                                       # decode_multi_step): per-dispatch
+                                       # overhead (launch + H2D batch + D2H
+                                       # tokens, ~1 ms on a tunneled v5e) is
+                                       # paid once per S tokens. EOS inside a
+                                       # span truncates at resolution (same
+                                       # overshoot rule as the pipeline)
+
     # --- speculative decoding (prompt-lookup / n-gram drafting) ---
     enable_spec_decode: bool = False   # draft tokens by n-gram lookup in the
                                        # request's own context and verify them

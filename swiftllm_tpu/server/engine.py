@@ -168,6 +168,16 @@ class Engine:
                     self.model.forward(groups[g], groups=groups)
                     ra.num_cached_tokens += 1
                     ra.output_token_ids.append(0)
+                    if cfg.multi_step_decode > 1:
+                        # The S-chained decode program is a distinct bucket
+                        # (BucketKey.steps); warm it or the first qualifying
+                        # pure-decode step compiles mid-serving.
+                        S = cfg.multi_step_decode
+                        groups[g] = [ScheduledSeq(ra, 1)]
+                        self.model.forward(groups[g], groups=groups,
+                                           multi_step=S)
+                        ra.num_cached_tokens += S
+                        ra.output_token_ids.extend([0] * S)
                     # Short prompts produce SMALLER token buckets (a lone
                     # 160-token chunk pads to the 256 bucket, not 512): warm
                     # every pow2 bucket from one tile up to the full chunk.
@@ -376,13 +386,19 @@ class Engine:
         loop = asyncio.get_running_loop()
         return await loop.run_in_executor(self._model_executor, fn, *args)
 
-    def _dispatch(self, batch, groups=None):
+    def _dispatch(self, batch, groups=None, steps: int = 1):
         """Dispatch one step and apply its COUNT effects (token values arrive
-        at resolution). Returns the pending-step record."""
-        tokens_dev, rows = self.model.forward_async(batch, groups=groups)
+        at resolution). ``steps`` S > 1 runs the batch through S chained
+        decode steps in ONE program (scheduler qualifies the batch): counts
+        advance by S per row so the pipelined next dispatch builds on the
+        post-span state, and the on-device feedback buffer chains the input
+        tokens. Returns the pending-step record."""
+        tokens_dev, rows = self.model.forward_async(batch, groups=groups,
+                                                    multi_step=steps)
         lp_dev = self.model.last_logprobs   # device f32[dp*B] or None
         key = self.model.last_key
-        span = key.spec if key is not None and key.spec else 1
+        span = (key.spec if key is not None and key.spec
+                else key.steps if key is not None else max(steps, 1))
         entries = []   # (request, output position, batch row, drafts|None)
         for i, s in enumerate(rows):
             if s is None:
@@ -399,13 +415,16 @@ class Engine:
                 entries.append((r, len(r.output_token_ids) - 1, i, s.drafts))
                 self.stats.num_spec_drafted += len(s.drafts)
                 continue
-            r.num_cached_tokens += s.n_tokens
+            r.num_cached_tokens += s.n_tokens if steps <= 1 else steps
             if was_prefill:
                 self.stats.num_prompt_tokens += s.n_tokens
             if samples:
-                r.output_token_ids.append(None)   # value pending on device
-                r.output_logprobs.append(None)
-                entries.append((r, len(r.output_token_ids) - 1, i, None))
+                # One placeholder per span token: finish-by-count must see
+                # the full post-span length before the values resolve.
+                n = max(steps, 1)
+                r.output_token_ids.extend([None] * n)
+                r.output_logprobs.extend([None] * n)
+                entries.append((r, len(r.output_token_ids) - n, i, None))
         self.stats.num_steps += 1
         return (tokens_dev, entries, time.perf_counter(), lp_dev, span)
 
@@ -436,6 +455,10 @@ class Engine:
                         break           # token at span position j
                     vals.append(int(tokens2[i, j + 1]))
                 self.stats.num_spec_accepted += len(vals) - 1
+            elif span > 1:
+                # Multi-step decode row: every span position is a real
+                # sampled token (the scan chained them on device).
+                vals = [int(v) for v in tokens2[i, :span]]
             # EOS truncation WITHIN the accepted run, then output-len clamp.
             for j, v in enumerate(vals):
                 if v in self.eos_ids and pos + j + 1 < r.output_len:
@@ -448,10 +471,15 @@ class Engine:
                 # outputs); rejected/readout-truncated span KV is masked by
                 # seq_lens and overwritten by the real tokens later.
                 r.num_cached_tokens += len(vals) - 1
-            r.output_token_ids[pos] = vals[0]
-            if len(vals) > 1:
-                r.output_token_ids.extend(vals[1:])
-                r.output_logprobs.extend([None] * (len(vals) - 1))
+            # Spec rows appended ONE placeholder (extend with the accepted
+            # tail); multi-step rows appended one per span position (fill in
+            # place). The generic loop covers both.
+            for j, v in enumerate(vals):
+                if pos + j < len(r.output_token_ids):
+                    r.output_token_ids[pos + j] = v
+                else:
+                    r.output_token_ids.append(v)
+                    r.output_logprobs.append(None)
             for j, v in enumerate(vals):
                 lp = float(lps2[i, j]) if lps2 is not None else None
                 if pos + j < len(r.output_logprobs):
@@ -463,6 +491,12 @@ class Engine:
                 del r.output_logprobs[pos + len(vals):]
                 from swiftllm_tpu.server.spec import rollback_state
                 rollback_state(r, r.prompt_len + len(r.output_token_ids))
+            elif drafts is None and len(vals) < span:
+                # Multi-step span clamped by output_len (scheduler normally
+                # prevents this): drop the unfilled tail placeholders so the
+                # count reflects real tokens only.
+                del r.output_token_ids[pos + len(vals): pos + span]
+                del r.output_logprobs[pos + len(vals): pos + span]
             if r.is_finished() and pos + len(vals) == len(r.output_token_ids):
                 r.finished_event.set()
                 self.stats.num_requests_finished += 1
@@ -529,7 +563,7 @@ class Engine:
         if decision.batch:
             self._pending_steps.append(
                 await self._run_on_model_async(self._dispatch, decision.batch,
-                                               decision.groups))
+                                               decision.groups, decision.steps))
             if any(s.drafts for s in decision.batch):
                 # Spec steps resolve synchronously: the number of confirmed
                 # tokens (and hence every count the next scheduling round

@@ -83,6 +83,11 @@ class ScheduleDecision:
     # head; their prompt+generated tokens re-prefill on re-admission (cheap
     # when prefix caching still holds their pages).
     recompute: list[Request] = dataclasses.field(default_factory=list)
+    # Multi-step decode: run the batch through S chained decode steps in ONE
+    # program (config.multi_step_decode; 1 = plain single step). Set only
+    # when every row is a 1-token decode with >= S output budget and the
+    # group page pools cover S new tokens per row.
+    steps: int = 1
 
     @property
     def total_tokens(self) -> int:
@@ -299,7 +304,32 @@ class Scheduler:
         batch = [s for g in groups for s in g]
         return ScheduleDecision(batch=batch, swap_in=swap_in,
                                 swap_out=swap_out, groups=groups,
-                                recompute=recompute)
+                                recompute=recompute,
+                                steps=self._multi_step_for(groups, blocks_used))
+
+    def _multi_step_for(self, groups: list[list[ScheduledSeq]],
+                        blocks_used: list[int]) -> int:
+        """S > 1 when the step qualifies for multi-step decode: every row a
+        plain 1-token decode (no prefill chunks, no spec drafts), every
+        request with at least S tokens of output budget left (so no row
+        finishes mid-span), and every group's page pool covering S new
+        tokens per row. Anything else — including an empty batch — is a
+        plain single step."""
+        S = self.engine_config.multi_step_decode
+        if S <= 1 or not any(groups):
+            return 1
+        for g, group in enumerate(groups):
+            extra = 0
+            for s in group:
+                r = s.request
+                if (s.n_tokens != 1 or s.drafts
+                        or r.output_len - len(r.output_token_ids) < S):
+                    return 1
+                extra += self._blocks_after(r, S) - self._blocks_after(r, 1)
+            if blocks_used[g] + extra > self.num_hbm_blocks:
+                return 1
+            blocks_used[g] += extra
+        return S
 
     def _chunk_align(self) -> int:
         """Tile-padding unit for prefill chunks (see _build_group_batch)."""

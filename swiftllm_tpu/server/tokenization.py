@@ -89,8 +89,14 @@ class DummyTokenizer:
         self.vocab_size = vocab_size
 
     def __call__(self, prompts: list[str]) -> dict:
+        # crc32, not hash(): str hash is randomized per process
+        # (PYTHONHASHSEED), which would break cross-process determinism —
+        # multi-host serving tokenizes on host 0 only, but tests and A/B
+        # benchmarks compare outputs across server processes.
+        import zlib
         return {"input_ids": [
-            [(hash(w) % (self.vocab_size - 1)) + 1 for w in p.split()] or [1]
+            [(zlib.crc32(w.encode()) % (self.vocab_size - 1)) + 1
+             for w in p.split()] or [1]
             for p in prompts]}
 
     def decode(self, token_ids: list[int], skip_special_tokens: bool = True) -> str:
