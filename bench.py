@@ -111,6 +111,9 @@ def build_parser():
     p.add_argument("--use-pallas", default=None, type=lambda s: s.lower() in ("1", "true"))
     p.add_argument("--max-tokens", type=int, default=None,
                    help="per-step flat token budget (default max(2048, batch))")
+    p.add_argument("--prefill-chunk", type=int, default=512,
+                   help="prefill chunk per row per step; with --max-tokens "
+                        "this sets tokens/step = min(batch*chunk, max_tokens)")
     p.add_argument("--skip-prefill", action="store_true",
                    help="seed KV pages directly (cache zeros) instead of "
                         "running prefill — decode timing is identical, setup "
@@ -297,7 +300,7 @@ def run_one(args):
         max_blocks_per_seq=pages_per_seq,
         max_batch_size=args.batch,
         max_tokens_in_batch=args.max_tokens or max(2048, args.batch),
-        prefill_chunk_size=512,
+        prefill_chunk_size=args.prefill_chunk,
         max_seqs_in_block_table=max(args.batch, 16),
         lora_paths=("dummy:" + ",".join(f"l{i}" for i in range(args.lora))
                     if args.lora else ""),

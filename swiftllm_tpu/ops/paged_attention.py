@@ -852,10 +852,16 @@ def _tiles_kernel(
                     key_pos = c * chunk + jax.lax.broadcasted_iota(
                         jnp.int32, (1, chunk), 1)
                     # Zero rows never DMA'd (stale VMEM): 0 * NaN poisons p@v.
+                    # Only the FINAL chunk can be partially covered (earlier
+                    # chunks are fully DMA'd), so the [chunk, W] masking pass
+                    # is gated on it — steady-state chunks skip it entirely.
                     key_col = (c * chunk + jax.lax.broadcasted_iota(
                         jnp.int32, (chunk, 1), 0))
-                    kv2 = jnp.where(
-                        key_col < pages_needed * (chunk // chunk_pages), kv2, 0)
+                    lim = pages_needed * (chunk // chunk_pages)
+                    kv2 = jax.lax.cond(
+                        lim < (c + 1) * chunk,
+                        lambda k: jnp.where(key_col < lim, k, 0),
+                        lambda k: k, kv2)
                 if W > 2 * KH:
                     # fp8 per-token scales: recover in SCORE space via a
                     # one-hot selector matmul (MXU transposes the scale
@@ -1039,10 +1045,11 @@ def ragged_paged_attention(q, cache3, layer, batch, *, n_kv: int,
         sel = jnp.where((need > 0) & (batch.q_lens[:B] > 0) & contig & fits
                         & (pow2 > 0) & (pow2 <= chunk_pages),
                         pow2, 0).astype(jnp.int32)
-        R = _decode_r()             # rows per grid step (grouped kernel)
-        # B is a pow2 bucket; tiny batches (B < R) pad up to one group with
-        # q_lens == 0 rows (the kernel's masked-suffix contract) so the
-        # grouped kernel is the ONLY decode path.
+        # Rows per grid step (grouped kernel), capped by the batch itself:
+        # padding a 1-row batch up to R=4 quadruples every lane block, DMA
+        # buffer and block-diag matmul for nothing (b1 long-context decode
+        # measured 4x the MXU work of R=1). B is a pow2 bucket, so R | B.
+        R = min(_decode_r(), B)
         Bp = B if B % R == 0 else R
         # Grouped kernel: bigger per-slot KV buffers (R lane blocks wide).
         # ~256-token chunks: the block-diag matmuls span the whole chunk
@@ -1052,12 +1059,19 @@ def ragged_paged_attention(q, cache3, layer, batch, *, n_kv: int,
         # short-context histories with ONE fast-path DMA, and bounds the
         # padding waste at long context to under one chunk.
         chunk_pages = max(1, min(Pg, max(256 // page_size, 1)))
+        # Long histories: grow the chunk so a row's whole history streams in
+        # ~16 chunk rounds — at 131Ki tokens a 256-token chunk runs 512
+        # serial DMA+score rounds per layer, pure latency. The short-context
+        # floor stays 256 tokens (bounds block-diag padding waste); ceilings:
+        # the VMEM budget below and the DMA-semaphore cap.
+        want = next_power_of_2(max(cdiv(Pg * page_size, 16), 1))
+        chunk_pages = max(chunk_pages, min(Pg, want // page_size))
         # VMEM guard (wide-W models) + 512-slot DMA-semaphore cap
         # (kv_sems is 2*R*chunk_pages + 2R write-back pairs).
         while (2 * R * chunk_pages * page_size * W * itemsize
-               > 16 * 1024 * 1024) and chunk_pages > 1:
+               > 8 * 1024 * 1024) and chunk_pages > 1:
             chunk_pages //= 2
-        chunk_pages = min(chunk_pages, 32)
+        chunk_pages = min(chunk_pages, max(32, 256 // (2 * R)))
         if max_chunk_pages is not None:
             chunk_pages = min(chunk_pages, max_chunk_pages)
         max_chunks = cdiv(Pg, chunk_pages)
