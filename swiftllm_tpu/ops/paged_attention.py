@@ -359,7 +359,12 @@ def _decode_kernel_grouped(
                               pl.ds(r * W, W)],
                     kv_sems.at[slot, r, 0],
                 ).start()
-        @pl.when((sel == -1) & (base + chunk_pages <= need))
+        # sel == -2: the tail chunk too is one full-size DMA (over-reads
+        # neighbouring pool pages — finite, masked; guarded at trace level).
+        full = (((sel == -1) & (base + chunk_pages <= need))
+                | ((sel == -2) & (base < need)))
+
+        @pl.when(full)
         def _():
             p0 = pt_read(b, r, base)
             pltpu.make_async_copy(
@@ -392,7 +397,10 @@ def _decode_kernel_grouped(
                     kv_buf.at[slot, pl.ds(0, z * page_size), pl.ds(r * W, W)],
                     kv_sems.at[slot, r, 0],
                 ).wait()
-        @pl.when((sel == -1) & (base + chunk_pages <= need))
+        full = (((sel == -1) & (base + chunk_pages <= need))
+                | ((sel == -2) & (base < need)))
+
+        @pl.when(full)
         def _():
             pltpu.make_async_copy(
                 cache_in.at[0, pl.ds(0, chunk_pages * page_size)],  # shape-only
@@ -886,6 +894,17 @@ def _tiles_kernel(
                     # be window-masked in FULL — see the WIN_NEG comment.
                     in_win = (key_pos > q_pos - window) if window else None
 
+                # MXU row-sum rider: [chunk, hd] lane block whose lane 0 is
+                # one. p @ [V ‖ e0] yields p@V AND sum(p) in ONE matmul —
+                # hd=64 leaves half the MXU output lanes idle, so the sum
+                # column rides free and the separate [NG, chunk] f32 sum
+                # pass (the kernel is VPU-bound at hd=64) disappears. p is
+                # cast to bf16 INSIDE the exp2 pass (fused); numerator and
+                # denominator then see the SAME rounded p, so the
+                # normalization cancels most of the rounding.
+                e0 = (jax.lax.broadcasted_iota(jnp.int32, (chunk, hd), 1)
+                      == 0).astype(q4.dtype)
+
                 new_m, new_l, new_acc = [], [], []
                 for h in range(n_kv):
                     qh = qh_rows(h)                          # [NG, hd]
@@ -923,12 +942,25 @@ def _tiles_kernel(
                                 m[h], jnp.max(s, axis=-1, keepdims=True))
                             p = jnp.exp2(s - mi)
                         scale = jnp.exp2(m[h] - mi)
-                    li = l[h] * scale + jnp.sum(p, axis=-1, keepdims=True)
-                    p_v = p * vrow if vrow is not None else p
-                    ai = acc[h] * scale + jax.lax.dot_general(
-                        p_v.astype(qh.dtype), vh.astype(qh.dtype),
-                        (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
+                    if vrow is not None or hd >= 128:
+                        # fp8: l needs sum(p) UNscaled while p@V needs
+                        # p*vrow — the rider column can't serve both. And at
+                        # hd >= 128 the output lanes are already full, so the
+                        # rider would WIDEN the matmul instead of riding free.
+                        p_v = p * vrow if vrow is not None else p
+                        li = l[h] * scale + jnp.sum(p, axis=-1, keepdims=True)
+                        ai = acc[h] * scale + jax.lax.dot_general(
+                            p_v.astype(qh.dtype), vh.astype(qh.dtype),
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                    else:
+                        pv = jax.lax.dot_general(
+                            p.astype(qh.dtype),
+                            jnp.concatenate([vh.astype(qh.dtype), e0], axis=1),
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # [NG, 2*hd]
+                        li = l[h] * scale + pv[:, hd:hd + 1]
+                        ai = acc[h] * scale + pv[:, :hd]
                     new_m.append(mi)
                     new_l.append(li)
                     new_acc.append(ai)
@@ -1058,7 +1090,8 @@ def ragged_paged_attention(q, cache3, layer, batch, *, n_kv: int,
         # the attention matmul work for nothing. 256 still covers typical
         # short-context histories with ONE fast-path DMA, and bounds the
         # padding waste at long context to under one chunk.
-        chunk_pages = max(1, min(Pg, max(256 // page_size, 1)))
+        base_tokens = int(os.environ.get("SWIFTLLM_DECODE_CHUNK", "256"))
+        chunk_pages = max(1, min(Pg, max(base_tokens // page_size, 1)))
         # Long histories: grow the chunk so a row's whole history streams in
         # ~16 chunk rounds — at 131Ki tokens a 256-token chunk runs 512
         # serial DMA+score rounds per layer, pure latency. The short-context
@@ -1085,6 +1118,16 @@ def ragged_paged_attention(q, cache3, layer, batch, *, n_kv: int,
         # row's own consecutive pages, so no over-read guard is needed.
         sel = jnp.where((sel == 0) & contig & (batch.q_lens[:B] > 0)
                         & (need > chunk_pages), -1, sel)
+        # sel = -2: like -1, but the ragged TAIL chunk is also ONE full
+        # chunk-sized DMA that over-reads the neighbouring pool pages
+        # (finite KV of other rows; scores past the row's history are
+        # masked) — per-page tail copies cost a DMA issue per page, which
+        # dominates the kernel at short contexts. Requires the over-read to
+        # stay inside the pool.
+        row_chunks = (need + chunk_pages - 1) // chunk_pages
+        safe = (batch.page_table[:, 0] + row_chunks * chunk_pages
+                <= pages_per_layer)
+        sel = jnp.where((sel == -1) & safe, -2, sel)
         q_lens_l = batch.q_lens
         seq_lens_l = batch.seq_lens
         q_rows = q[:B].reshape(B * n_q, hd)
