@@ -56,7 +56,10 @@ HBM_BW = {"v5e": 819e9, "v5 lite": 819e9, "v5litepod": 819e9,
 SUITE = [
     ["--model", "8b", "--batch", "16", "--context", "128", "--quant", "int8",
      "--skip-prefill"],
-    ["--model", "1b", "--batch", "64", "--context", "128", "--skip-prefill"],
+    # multi-step 8 + 64-token pages: the tuned serving config (multi-step
+    # decode is engine-integrated and lossless; sweep tools/sweep_ms.py).
+    ["--model", "1b", "--batch", "64", "--context", "128", "--skip-prefill",
+     "--multi-step", "8", "--block-size", "64"],
     # --profile-blocks: this entry sizes its cache via profile_num_blocks()
     # (the real-serving default path, VERDICT r2 weak #6) instead of an
     # explicit page count.
@@ -66,7 +69,7 @@ SUITE = [
     ["--model", "8b", "--batch", "16", "--context", "128", "--quant", "int4",
      "--skip-prefill"],
     ["--model", "1b", "--batch", "1", "--context", "131072", "--steps", "16",
-     "--skip-prefill"],
+     "--skip-prefill", "--multi-step", "16"],
     # Speculative-verify span steps at full acceptance (upper bound; realized
     # serving speedup = (1+accepted)/(1+K) of this value).
     ["--model", "1b", "--batch", "8", "--context", "128", "--spec-k", "4",

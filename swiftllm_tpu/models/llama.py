@@ -168,14 +168,24 @@ def compute_inv_freq(cfg: LlamaModelConfig) -> np.ndarray:
     return inv_freq.astype(np.float32)
 
 
-def apply_rope(x: jax.Array, positions: jax.Array, inv_freq: jax.Array) -> jax.Array:
+def rope_tables(positions: jax.Array, inv_freq: jax.Array, dtype):
+    """cos/sin [T, 1, hd/2] for apply_rope. Layer-invariant: computed ONCE
+    per step and closed over by the layer scan (the trig on [T, hd/2] is
+    pure VPU transcendental work — recomputing it per layer for q AND k
+    showed up as a per-layer fusion in the decode step profile)."""
+    angles = positions.astype(jnp.float32)[:, None] * inv_freq[None, :]   # [T, hd/2]
+    return (jnp.cos(angles).astype(dtype)[:, None, :],
+            jnp.sin(angles).astype(dtype)[:, None, :])
+
+
+def apply_rope(x: jax.Array, positions, inv_freq, tables=None) -> jax.Array:
     """Half-split (rotate_half) rotary embedding, HF convention.
 
-    x: [T, n_heads, head_dim]; positions: i32[T]; inv_freq: f32[head_dim//2].
+    x: [T, n_heads, head_dim]; positions: i32[T]; inv_freq: f32[head_dim//2];
+    tables: optional precomputed (cos, sin) from rope_tables.
     """
-    angles = positions.astype(jnp.float32)[:, None] * inv_freq[None, :]   # [T, hd/2]
-    cos = jnp.cos(angles).astype(x.dtype)[:, None, :]                     # [T, 1, hd/2]
-    sin = jnp.sin(angles).astype(x.dtype)[:, None, :]
+    cos, sin = (tables if tables is not None
+                else rope_tables(positions, inv_freq, x.dtype))
     x1, x2 = jnp.split(x, 2, axis=-1)
     return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
 
@@ -412,6 +422,8 @@ def forward_shard(
     # W = 2*n_kv*hd, plus one trailing scale-lane tile under fp8 KV quant.
     L = kv_cache.shape[0]
     cache2 = kv_cache
+    # RoPE trig once per step, closed over by every scanned layer.
+    rope_cs = rope_tables(batch.positions, inv_freq, x.dtype)
 
     # Fused-INT4 path (decode-size buckets): stream each packed weight byte
     # ONCE through ops/int4_matmul instead of the XLA two-half-dot path that
@@ -483,8 +495,8 @@ def forward_shard(
         q = biased(lora_add(mproj(h, "wq"), h, "wq"), "bq").reshape(T, n_q_l, hd)
         k = biased(lora_add(mproj(h, "wk"), h, "wk"), "bk").reshape(T, n_kv_l, hd)
         v = biased(lora_add(mproj(h, "wv"), h, "wv"), "bv").reshape(T, n_kv_l, hd)
-        q = apply_rope(q, batch.positions, inv_freq)
-        k = apply_rope(k, batch.positions, inv_freq)
+        q = apply_rope(q, batch.positions, inv_freq, tables=rope_cs)
+        k = apply_rope(k, batch.positions, inv_freq, tables=rope_cs)
 
         # Per-shard lane layout [K_all ‖ V_all (‖ scales)] (each shard writes
         # only its own lane slice, so the layout is shard-local), cast to the

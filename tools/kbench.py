@@ -147,6 +147,9 @@ def main():
         bench_tile("tile_8x512_hist2048", 8, [512] * 8, [2048] * 8)
         bench_tile("tile_1x2048_hist2048", 8, [2048] + [0] * 7,
                    [2048] + [0] * 7)
+        # Skipped-grid-step overhead probe: 1 active span of 63 grid steps.
+        bench_tile("tile_1x256_hist256", 8, [256] + [0] * 7,
+                   [256] + [0] * 7)
     if which in ("all", "decode"):
         # bench decode-suite shape: b64 c128 after ~200 generated tokens.
         for R in (2, 4, 8):
