@@ -55,6 +55,32 @@ def _device_memory_stats() -> dict:
         return {}
 
 
+def _assert_decode_prefix(batch_np, key, dp: int):
+    """Host-side guard for the fused decode kernel's row contract: valid
+    decode rows must form a CONTIGUOUS PREFIX of each dp group's row axis
+    (ops/paged_attention.py — the kernel's cross-row DMA prefetch chain only
+    checks row b+1, so a valid row after an invalid one would wait on a
+    semaphore nobody ever signals and hang the DEVICE). build_step_batch packs
+    decode rows first, so this should never fire for engine traffic; it
+    converts a violating direct caller's device hang into a stack trace."""
+    q_lens = np.asarray(batch_np.q_lens).reshape(dp, -1)
+    if key.q_len > 1:
+        dec = np.asarray(batch_np.decode_row).reshape(dp, -1)
+        valid = (q_lens > 0) & dec
+    else:
+        valid = q_lens > 0
+    counts = valid.sum(axis=1)
+    for g in range(dp):
+        n = int(counts[g])
+        if n and not valid[g, :n].all():
+            raise ValueError(
+                f"dp group {g}: decode-kind rows are not a contiguous prefix "
+                f"(valid rows at {np.nonzero(valid[g])[0].tolist()}) — this "
+                "violates the fused decode kernel's row contract and would "
+                "hang the device; pack decode rows first (see "
+                "worker/batch_builder.build_step_batch)")
+
+
 class LlamaModel:
     def __init__(self, engine_config: EngineConfig,
                  model_config: LlamaModelConfig | None = None, mesh=None):
@@ -305,6 +331,8 @@ class LlamaModel:
         batch_np, key, rows = build_step_batch(groups, self.hbm_block_mgrs,
                                                self.engine_config,
                                                multi_step=multi_step)
+        if self.engine_config.use_pallas:
+            _assert_decode_prefix(batch_np, key, self.dp)
         from swiftllm_tpu.worker.batch_builder import pack_step_batch
         flat_np = pack_step_batch(batch_np, self.dp)
         if jax.process_count() > 1:
