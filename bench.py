@@ -65,7 +65,10 @@ SUITE = [
     # explicit page count.
     ["--model", "1b", "--batch", "8", "--context", "8192", "--steps", "32",
      "--skip-prefill", "--profile-blocks"],
-    ["--model", "1b", "--batch", "8", "--context", "2048", "--mode", "prefill"],
+    # --max-tokens 4096: 2 chunks/step measured best on chip (r4 sweep:
+    # 0.471 vs 0.426 at 2048/step; 8192+ regressed).
+    ["--model", "1b", "--batch", "8", "--context", "2048", "--mode", "prefill",
+     "--max-tokens", "4096"],
     ["--model", "8b", "--batch", "16", "--context", "128", "--quant", "int4",
      "--skip-prefill"],
     ["--model", "1b", "--batch", "1", "--context", "131072", "--steps", "16",
@@ -74,6 +77,17 @@ SUITE = [
     # serving speedup = (1+accepted)/(1+K) of this value).
     ["--model", "1b", "--batch", "8", "--context", "128", "--spec-k", "4",
      "--skip-prefill"],
+    # Reference chart-grid extremes (README.md:93-103 axes): batch 128
+    # decode, and a single-sequence long prefill.
+    ["--model", "1b", "--batch", "128", "--context", "128", "--skip-prefill",
+     "--multi-step", "8", "--block-size", "64"],
+    ["--model", "1b", "--batch", "1", "--context", "16384", "--mode",
+     "prefill", "--prefill-chunk", "2048", "--max-tokens", "2048"],
+    # SARATHI mixed-step cost: decode TPOT with a concurrent chunk stream.
+    ["--model", "1b", "--batch", "64", "--context", "128", "--mode", "mixed",
+     "--steps", "16", "--block-size", "64"],
+    # fp8 KV capacity (v5e has no fp8 datapath; capacity is the benefit).
+    ["--model", "8b", "--quant", "int8", "--kv-capacity"],
 ]
 
 
@@ -108,7 +122,11 @@ def build_parser():
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--block-size", type=int, default=32,
                    help="KV page size in tokens (larger = fewer DMAs per row)")
-    p.add_argument("--mode", default="decode", choices=("decode", "prefill"))
+    p.add_argument("--mode", default="decode",
+                   choices=("decode", "prefill", "mixed"),
+                   help="mixed: SARATHI piggyback cost — decode TPOT with a "
+                        "concurrent prefill-chunk stream vs pure decode and "
+                        "pure chunks run separately")
     p.add_argument("--quant", default="none", choices=("none", "int8", "int4"))
     p.add_argument("--kv-quant", default="none", choices=("none", "fp8"))
     p.add_argument("--use-pallas", default=None, type=lambda s: s.lower() in ("1", "true"))
@@ -134,6 +152,10 @@ def build_parser():
                    help="serve N stacked dummy LoRA adapters, requests "
                         "assigned round-robin (base + N-1 adapters) — "
                         "measures the dense-gather adapter overhead")
+    p.add_argument("--kv-capacity", action="store_true",
+                   help="measure KV-cache CAPACITY (profiled pages at fixed "
+                        "HBM) with bf16 vs fp8 KV and report the ratio — the "
+                        "honest fp8 pitch on v5e, which has no fp8 datapath")
     p.add_argument("--profile-blocks", action="store_true",
                    help="size the cache via profile_num_blocks() (the real-"
                         "serving default path) instead of an explicit count")
@@ -150,14 +172,20 @@ def _config_cost_estimate(extra: list[str]) -> float:
     skips (and SAYS it skipped) any config whose estimate exceeds the
     remaining budget, so the process exits rc=0 within the driver's window
     instead of being killed mid-config (the r2 artifact failure mode)."""
-    cost = 60.0                                   # compile + setup floor
+    cost = 45.0                                   # compile + setup floor
     if "8b" in extra:
-        cost += 180.0                             # bigger weights + programs
+        cost += 60.0                              # bigger weights + programs
     if "--mode" in extra:
-        cost += 60.0                              # prefill re-runs per trial
-    if "131072" in extra or "--profile-blocks" in extra:
-        cost += 120.0                             # cache alloc / AOT profile
-    return cost + 60.0                            # timed steps + margin
+        cost += 30.0                              # prefill re-runs per trial
+    if "mixed" in extra:
+        cost += 60.0                              # three timed regimes
+    if "--kv-capacity" in extra:
+        cost += 120.0                             # two model builds + probes
+    if "131072" in extra or "16384" in extra or "--profile-blocks" in extra:
+        cost += 60.0                              # cache alloc / AOT profile
+    return cost + 45.0                            # timed steps + margin
+    # (r3 actuals: ~50 s per entry in-process; the watchdog at budget+240 s
+    # hard-exits 0 anyway, so estimates only need to be roughly right.)
 
 
 def _device_reachable(timeout_s: float = 600.0) -> bool:
@@ -294,20 +322,56 @@ def run_one(args):
     total_len = args.context + args.steps * per_step + 8
     from swiftllm_tpu.utils import cdiv, next_power_of_2
     pages_per_seq = next_power_of_2(cdiv(total_len, args.block_size))
-    ec = EngineConfig(
+    rider_pages = 0
+    if args.mode == "mixed":
+        # The prefill rider sequence holds chunk*(steps+1) tokens by the end.
+        rider_pages = next_power_of_2(
+            cdiv(args.prefill_chunk * (args.steps + 1), args.block_size))
+    ec_kw = dict(
         model_path="", use_dummy=True, dtype=args.dtype, block_size=args.block_size,
         quant=args.quant, kv_quant=args.kv_quant,
         num_hbm_blocks=(None if args.profile_blocks
-                        else args.batch * pages_per_seq),
+                        else args.batch * pages_per_seq + rider_pages),
         num_cpu_blocks=0,
-        max_blocks_per_seq=pages_per_seq,
+        max_blocks_per_seq=max(pages_per_seq, rider_pages),
         max_batch_size=args.batch,
         max_tokens_in_batch=args.max_tokens or max(2048, args.batch),
         prefill_chunk_size=args.prefill_chunk,
-        max_seqs_in_block_table=max(args.batch, 16),
+        max_seqs_in_block_table=max(args.batch + 1, 16),
         lora_paths=("dummy:" + ",".join(f"l{i}" for i in range(args.lora))
                     if args.lora else ""),
         use_pallas=use_pallas)
+    ec = EngineConfig(**ec_kw)
+
+    if args.kv_capacity:
+        # fp8 KV capacity: pages that fit the chip's HBM at each KV dtype,
+        # via the real serving path (profile_num_blocks). v5e has no fp8
+        # datapath, so CAPACITY (bigger batch/context at equal HBM) is the
+        # honest benefit; theoretical ceiling = bf16_lane_bytes / fp8_lane
+        # bytes (the per-token scale-lane tile dilutes narrow-KV models).
+        from swiftllm_tpu.worker.model import LlamaModel
+        counts = {}
+        for kvq in ("none", "fp8"):
+            m = LlamaModel(EngineConfig(**{**ec_kw, "kv_quant": kvq,
+                                           "num_hbm_blocks": None}), mc)
+            m.load_weights()
+            counts[kvq] = m.profile_num_blocks()
+            _log(f"kv_capacity[{kvq}] = {counts[kvq]} pages")
+            del m
+            gc.collect()
+        ratio = counts["fp8"] / max(counts["none"], 1)
+        lanes_bf16 = 2 * nkv * hd
+        ceiling = 2 * lanes_bf16 / (lanes_bf16 + 128)
+        qt = "" if args.quant == "none" else f"_{args.quant}"
+        print(json.dumps({
+            "metric": f"kv_capacity_fp8_vs_bf16_{args.model}{qt}",
+            "value": round(ratio, 4),
+            "unit": "x_pages",
+            "vs_baseline": round(ratio / ceiling, 4),
+            "detail": f"bf16={counts['none']} fp8={counts['fp8']} pages; "
+                      f"dtype ceiling {ceiling:.2f}x",
+        }), flush=True)
+        return
 
     tprev = [time.perf_counter()]
 
@@ -411,6 +475,62 @@ def run_one(args):
             "value": round(tok_per_s, 2),
             "unit": "tokens/s/chip",
             "vs_baseline": round(tok_per_s / sol, 4),
+        }), flush=True)
+        return
+
+    if args.mode == "mixed":
+        # SARATHI piggyback cost: (batch-1) decode rows + ONE prefill chunk
+        # per step, vs pure decode and pure chunks run as separate steps.
+        # vs_baseline = (t_dec + t_pre) / t_mixed — > 1 means the mixed step
+        # beats running the two workloads back-to-back (the whole point of
+        # piggybacking; the reference left it as a comment,
+        # swiftllm/server/scheduler.py:92-99).
+        ndec = args.batch - 1
+        reqs = reqs[:ndec]
+        seed_context()
+        chunk = ec.prefill_chunk_size
+        n_chunks = args.steps
+
+        def rider():
+            r = Request(RawRequest("", 4))
+            r.set_prompt_token_ids(
+                rng.integers(0, V, chunk * (n_chunks + 1)).tolist())
+            r.seq_id = ndec
+            return r
+
+        dec = lambda: [ScheduledSeq(r, 1) for r in reqs]  # noqa: E731
+
+        def timed(make_sched, n, warm=1):
+            for _ in range(warm):
+                jax.block_until_ready(apply(*model.forward_async(make_sched())))
+            t0 = time.perf_counter()
+            last = None
+            for _ in range(n):
+                last = apply(*model.forward_async(make_sched()))
+            jax.block_until_ready(last)
+            return (time.perf_counter() - t0) / n
+
+        t_dec = timed(dec, args.steps)
+        t("pure decode timed")
+        pr = rider()
+        mix = lambda: dec() + [ScheduledSeq(                   # noqa: E731
+            pr, min(chunk, pr.num_uncached_tokens()))]
+        t_mixed = timed(mix, n_chunks - 1)
+        t("mixed timed")
+        model.free_seqs_resources([pr])
+        pr2 = rider()
+        pre = lambda: [ScheduledSeq(                            # noqa: E731
+            pr2, min(chunk, pr2.num_uncached_tokens()))]
+        t_pre = timed(pre, n_chunks - 1)
+        t("pure chunk timed")
+        print(json.dumps({
+            "metric": f"sarathi_mixed_step_{args.model}_b{args.batch}_c{args.context}",
+            "value": round(t_mixed * 1e3, 3),
+            "unit": "ms/step",
+            "vs_baseline": round((t_dec + t_pre) / t_mixed, 4),
+            "detail": f"pure decode {t_dec*1e3:.3f} ms + pure chunk "
+                      f"{t_pre*1e3:.3f} ms vs mixed {t_mixed*1e3:.3f} ms "
+                      f"({ndec} decode rows + one {chunk}-token chunk)",
         }), flush=True)
         return
 

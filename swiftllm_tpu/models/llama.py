@@ -295,7 +295,7 @@ def _ragged_paged_attention_jnp(
 
 def _attention_and_store(q, kv_new, cache3, layer, batch, *, n_kv,
                          page_size, sm_scale, use_pallas, q_bucket,
-                         window=0):
+                         window=0, fused_tile=False):
     """Store this layer's fresh K‖V (kv_new [T, W], W = per-shard cache lane
     width, already cast to the cache dtype — including the per-token fp8
     scale lanes when kv_quant is on) into the 3-D cache [L, S, W] and run
@@ -322,22 +322,31 @@ def _attention_and_store(q, kv_new, cache3, layer, batch, *, n_kv,
                 page_size=page_size, sm_scale=sm_scale, q_bucket=q_bucket,
                 kv_new=kv_new, window=window)
         else:
-            # True-SARATHI mixed step: scatter the PREFILL tokens' KV
-            # (decode tokens target the garbage slot in kv_slots_scatter),
-            # run the fused-update decode kernel over the decode-kind rows
-            # (packed first, flat token == row), then the tile kernel over
-            # the prefill-kind rows against the updated cache.
-            cache3 = cache3.at[layer, batch.kv_slots_scatter].set(kv_new)
+            # True-SARATHI mixed step: the fused-update decode kernel writes
+            # the decode-kind rows' KV (packed first, flat token == row), the
+            # tile kernel writes the prefill-kind rows' spans in-kernel
+            # (fused_tile; an XLA token scatter cost 0.197 ms/layer at T=2048
+            # — 9% of a whole prefill step). Spec-verify buckets, whose span
+            # starts are not page-aligned, keep the scatter (fused_tile off).
             q_lens_dec = jnp.where(batch.decode_row, batch.q_lens, 0)
             q_lens_pre = jnp.where(batch.decode_row, 0, batch.q_lens)
             dec_batch = dataclasses.replace(batch, q_lens=q_lens_dec)
             pre_batch = dataclasses.replace(batch, q_lens=q_lens_pre)
+            if not fused_tile:
+                cache3 = cache3.at[layer, batch.kv_slots_scatter].set(kv_new)
             dec_out, cache3 = ragged_paged_attention(
                 q, cache3, layer, dec_batch, n_kv=n_kv, page_size=page_size,
                 sm_scale=sm_scale, q_bucket=1, kv_new=kv_new, window=window)
-            pre_out = ragged_paged_attention(
-                q, cache3, layer, pre_batch, n_kv=n_kv, page_size=page_size,
-                sm_scale=sm_scale, q_bucket=q_bucket, window=window)
+            if fused_tile:
+                pre_out, cache3 = ragged_paged_attention(
+                    q, cache3, layer, pre_batch, n_kv=n_kv,
+                    page_size=page_size, sm_scale=sm_scale, q_bucket=q_bucket,
+                    kv_new=kv_new, window=window)
+            else:
+                pre_out = ragged_paged_attention(
+                    q, cache3, layer, pre_batch, n_kv=n_kv,
+                    page_size=page_size, sm_scale=sm_scale, q_bucket=q_bucket,
+                    window=window)
             n_dec = jnp.sum(batch.decode_row.astype(jnp.int32))
             tok_iota = jnp.arange(T, dtype=jnp.int32)[:, None, None]
             attn = jnp.where(tok_iota < n_dec, dec_out, pre_out)
@@ -424,6 +433,14 @@ def forward_shard(
     cache2 = kv_cache
     # RoPE trig once per step, closed over by every scanned layer.
     rope_cs = rope_tables(batch.positions, inv_freq, x.dtype)
+
+    # Fused tile KV write (prefill/mixed buckets): the tile kernel writes its
+    # own spans' fresh KV, replacing the XLA token scatter. Requires
+    # page-aligned span starts — guaranteed by the scheduler's page-multiple
+    # chunk sizing for ordinary prefill, but NOT for spec-verify spans (which
+    # start mid-sequence), so those buckets keep the scatter.
+    fused_tile = (use_pallas and q_bucket > 1 and sample_span == 0
+                  and q_bucket % page_size == 0 and page_size <= 128)
 
     # Fused-INT4 path (decode-size buckets): stream each packed weight byte
     # ONCE through ops/int4_matmul instead of the XLA two-half-dot path that
@@ -522,7 +539,8 @@ def forward_shard(
         attn, cache = _attention_and_store(
             q, kv_new, cache, l, batch, n_kv=n_kv_l,
             page_size=page_size, sm_scale=sm_scale, use_pallas=use_pallas,
-            q_bucket=q_bucket, window=cfg.sliding_window or 0)
+            q_bucket=q_bucket, window=cfg.sliding_window or 0,
+            fused_tile=fused_tile)
         attn = attn.reshape(T, n_q_l * hd)
         x = x + psum_tp(lora_add(mproj(attn, "wo"), attn, "wo"))
 

@@ -724,8 +724,8 @@ def _decode_kernel_grouped(
 
 def _tiles_kernel(
     *refs,
-    page_size, span, align, chunk_pages, sm_scale, n_q, n_kv, hd, W, hdp,
-    staged=False, window=0,
+    page_size, span, align, chunk_pages, sm_scale, n_q, n_kv, hd, W,
+    staged=False, window=0, fused=False,
 ):
     """Prefill/mixed tile attention, heads batched per KV head.
 
@@ -739,11 +739,14 @@ def _tiles_kernel(
     bound up, so fusing <=4 adjacent tiles adds at most one chunk of masked
     score FLOPs per span while dividing the KV traffic by the fused count.
 
-    q arrives HEAD-MAJOR with the head dim padded to a full 128-lane tile
-    ([n_q, T, hdp], an XLA transpose+pad at the call site — Mosaic requires
-    DMA-sliceable minors of >=128 lanes, and the padding keeps every
-    per-head value at lane offset 0 so sublane concats are legal). The tile's
-    queries stack each GQA group onto SUBLANES: per KV head ONE
+    q arrives FLAT [T, n_q*hd] — the projection GEMM's natural dense output.
+    (Round 3 used a head-major [n_q, T, hdp] layout; the XLA transpose feeding
+    it got folded INTO the wq GEMM, which then wrote a strided {2,0,1} layout
+    at 46% MXU efficiency — measured via the r4 step profile. The flat layout
+    keeps wq at wo's ~96% and drops the hdp pad, halving q/o staging VMEM.)
+    In-kernel, heads are extracted with 64-lane slices of the staged q tile —
+    the same lane-slice pattern the kv buffer already uses for kh/vh. The
+    tile's queries stack each GQA group onto SUBLANES: per KV head ONE
     [group*tile_q, chunk] matmul scores the whole group at once, and the
     online-softmax bookkeeping batches group-wide. The per-q-head loop this
     replaces issued n_q tiny matmuls + n_q softmax chains per chunk and
@@ -753,17 +756,34 @@ def _tiles_kernel(
     Page-table modes as in the decode kernel: scalar-prefetched [rows, Pg]
     table, or (``staged``) an HBM table staged per ROW into SMEM scratch at
     the row's first tile — the grid is row-major (b, t), so tiles t > 0 reuse
-    the staged list with no further DMAs."""
+    the staged list with no further DMAs.
+
+    ``fused``: the tile ALSO writes its own span's fresh KV (kvn_hbm [T, W],
+    the step's projected K‖V rows in cache dtype) into the row's pages before
+    streaming — replacing the XLA token scatter that cost 0.197 ms/layer at
+    T=2048 on v5e (9% of the whole prefill step; r4 profile). Full pages are
+    one kvn_buf→cache DMA each; the ragged tail page is a read-modify-write.
+    CONTRACT: every row's span start (seq_len - q_len) is page-aligned (the
+    scheduler sizes non-final prefill chunks to page multiples; spec-verify
+    buckets, whose spans start anywhere, keep the scatter path)."""
+    it = iter(refs)
+    layer_ref, q_starts_ref, q_lens_ref, seq_lens_ref = (
+        next(it), next(it), next(it), next(it))
+    page_table_ref = None if staged else next(it)
+    sel_ref = next(it)
+    q_hbm = next(it)
+    kvn_hbm = next(it) if fused else None
+    cache_hbm = next(it)
+    pt_hbm = next(it) if staged else None
+    o_hbm = next(it)
+    cache_out = next(it) if fused else None
+    q_buf, kv_buf, o_buf, q_sem, kv_sems, o_sem = (
+        next(it), next(it), next(it), next(it), next(it), next(it))
+    if fused:
+        kvn_buf, kvn_sem, pw_buf, pw_sem, wr_sems = (
+            next(it), next(it), next(it), next(it), next(it))
     if staged:
-        (layer_ref, q_starts_ref, q_lens_ref, seq_lens_ref, sel_ref,
-         q_hbm, cache_hbm, pt_hbm, o_hbm,
-         q_buf, kv_buf, o_buf, q_sem, kv_sems, o_sem,
-         pt_smem, pt_sem) = refs
-    else:
-        (layer_ref, q_starts_ref, q_lens_ref, seq_lens_ref, page_table_ref,
-         sel_ref,
-         q_hbm, cache_hbm, o_hbm,
-         q_buf, kv_buf, o_buf, q_sem, kv_sems, o_sem) = refs
+        pt_smem, pt_sem = next(it), next(it)
     b = pl.program_id(0)
     t = pl.program_id(1)
     chunk = chunk_pages * page_size
@@ -777,8 +797,12 @@ def _tiles_kernel(
         pt_read = lambda b_, j: pt_smem[j]
     else:
         pt_read = lambda b_, j: page_table_ref[b_, j]
+    # Fused mode reads the cache through the ALIASED OUTPUT ref: on hardware
+    # cache_hbm and cache_out are the same buffer, but the interpreter keeps
+    # separate copies — reads must go where the span writes land.
+    cache_rd = cache_out if fused else cache_hbm
     start_chunk, wait_chunk = _make_chunk_io(
-        cache_hbm, layer_ref[0], pt_read, kv_buf, kv_sems,
+        cache_rd, layer_ref[0], pt_read, kv_buf, kv_sems,
         page_size=page_size, chunk_pages=chunk_pages)
 
     @pl.when((q_len > t * span) & (seq_len > 0))
@@ -794,8 +818,60 @@ def _tiles_kernel(
         # at the call site so the fixed-size DMA never reads past the array.
         tile_start = pl.multiple_of(q_start + t * span, align)
         q_dma = pltpu.make_async_copy(
-            q_hbm.at[:, pl.ds(tile_start, span), :], q_buf, q_sem)
+            q_hbm.at[pl.ds(tile_start, span), :], q_buf, q_sem)
         q_dma.start()
+
+        if fused:
+            # Write this span's fresh KV into the row's pages BEFORE the
+            # chunk loop streams them back (the causal tail reads its own new
+            # keys). Grid steps are sequential and every write is waited
+            # in-step, so later tiles/rows always see completed writes.
+            n_new = jnp.minimum(q_len - t * span, span)
+            pos0 = seq_len - q_len + t * span      # page-aligned (contract)
+            pg0 = pos0 // page_size
+            kvn_dma = pltpu.make_async_copy(
+                kvn_hbm.at[pl.ds(tile_start, span), :], kvn_buf, kvn_sem)
+            kvn_dma.start()
+            kvn_dma.wait()
+            NPG = span // page_size
+            for i in range(NPG):
+                cov = n_new - i * page_size      # tokens landing in page i
+
+                @pl.when(cov >= page_size)       # full page: direct copy
+                def _(i=i):
+                    page = pt_read(b, pg0 + i)
+                    pltpu.make_async_copy(
+                        kvn_buf.at[pl.ds(i * page_size, page_size)],
+                        cache_out.at[layer_ref[0],
+                                     pl.ds(page * page_size, page_size)],
+                        wr_sems.at[i]).start()
+
+                @pl.when((cov > 0) & (cov < page_size))   # ragged tail: RMW
+                def _(i=i):
+                    page = pt_read(b, pg0 + i)
+                    rd = pltpu.make_async_copy(
+                        cache_rd.at[layer_ref[0],
+                                    pl.ds(page * page_size, page_size)],
+                        pw_buf, pw_sem)
+                    rd.start()
+                    rd.wait()
+                    rows_i = jax.lax.broadcasted_iota(
+                        jnp.int32, (page_size, 1), 0)
+                    pw_buf[...] = jnp.where(
+                        rows_i < cov,
+                        kvn_buf[i * page_size:(i + 1) * page_size], pw_buf[...])
+                    pltpu.make_async_copy(
+                        pw_buf,
+                        cache_out.at[layer_ref[0],
+                                     pl.ds(page * page_size, page_size)],
+                        wr_sems.at[i]).start()
+            for i in range(NPG):   # all writes land before any chunk read
+                @pl.when(n_new > i * page_size)
+                def _(i=i):
+                    pltpu.make_async_copy(
+                        kvn_buf.at[pl.ds(0, page_size)],             # shape-
+                        cache_out.at[layer_ref[0], pl.ds(0, page_size)],  # only
+                        wr_sems.at[i]).wait()
 
         # Causal upper bound on the KV this span can see.
         kv_needed = jnp.minimum(seq_len, seq_len - q_len + (t + 1) * span)
@@ -816,12 +892,44 @@ def _tiles_kernel(
             c_lo = 0
         start_chunk(b, c_lo, c_lo % 2, pages_needed, dma_sel)
         q_dma.wait()
-        q4 = q_buf[...]                 # [n_q, tile_q, hdp]
+        q4 = q_buf[...]                 # [span, n_q*hd]
 
         def qh_rows(h):
-            """KV head h's GQA group stacked on sublanes: [group*span, hd]."""
-            return jnp.concatenate(
-                [q4[h * group + j][:, :hd] for j in range(group)], axis=0)
+            """KV head h's GQA group stacked on sublanes: [group*span, hd].
+
+            Heads at lane offsets that are not 128-aligned (hd < 128) are
+            lane-rotated to offset 0 first: Mosaic cannot concatenate vectors
+            whose lane offsets differ ("result/input offset mismatch on
+            non-concat dimension"), and a raw 64-offset slice keeps its
+            offset-64 layout. One VPU rotate per odd head, once per tile."""
+            outs = []
+            for j in range(group):
+                base = (h * group + j) * hd
+                off = base % 128
+                if off:
+                    # Mosaic's lane rotate is 32-bit only: roll in f32 and
+                    # cast back (two VPU passes per odd head, once per tile).
+                    w = pltpu.roll(
+                        q4[:, base - off:base - off + 128].astype(jnp.float32),
+                        shift=128 - off, axis=1)
+                    outs.append(w[:, :hd].astype(q4.dtype))
+                else:
+                    outs.append(q4[:, base:base + hd])
+            return jnp.concatenate(outs, axis=0)
+
+        # Hoisted out of the chunk loop: the per-head sublane-stacked q views
+        # (a [NG, hd] VMEM copy each — rebuilding them per CHUNK per head
+        # measured as pure VPU overhead) and the rider lane block (constant).
+        qhs = [qh_rows(h) for h in range(n_kv)]
+        # MXU row-sum rider: [chunk, hd] lane block whose lane 0 is one.
+        # p @ [V ‖ e0] yields p@V AND sum(p) in ONE matmul — hd=64 leaves
+        # half the MXU output lanes idle, so the sum column rides free and
+        # the separate [NG, chunk] f32 sum pass (the kernel is VPU-bound at
+        # hd=64) disappears. p is cast to bf16 INSIDE the exp2 pass (fused);
+        # numerator and denominator then see the SAME rounded p, so the
+        # normalization cancels most of the rounding.
+        e0 = (jax.lax.broadcasted_iota(jnp.int32, (chunk, hd), 1)
+              == 0).astype(q4.dtype)
 
         # Query position of stacked row i: its span position is i % span.
         q_pos = (seq_len - q_len + t * span
@@ -894,20 +1002,9 @@ def _tiles_kernel(
                     # be window-masked in FULL — see the WIN_NEG comment.
                     in_win = (key_pos > q_pos - window) if window else None
 
-                # MXU row-sum rider: [chunk, hd] lane block whose lane 0 is
-                # one. p @ [V ‖ e0] yields p@V AND sum(p) in ONE matmul —
-                # hd=64 leaves half the MXU output lanes idle, so the sum
-                # column rides free and the separate [NG, chunk] f32 sum
-                # pass (the kernel is VPU-bound at hd=64) disappears. p is
-                # cast to bf16 INSIDE the exp2 pass (fused); numerator and
-                # denominator then see the SAME rounded p, so the
-                # normalization cancels most of the rounding.
-                e0 = (jax.lax.broadcasted_iota(jnp.int32, (chunk, hd), 1)
-                      == 0).astype(q4.dtype)
-
                 new_m, new_l, new_acc = [], [], []
                 for h in range(n_kv):
-                    qh = qh_rows(h)                          # [NG, hd]
+                    qh = qhs[h]                              # [NG, hd]
                     kh = kv2[:, h * hd:(h + 1) * hd]
                     vh = kv2[:, KH + h * hd:KH + (h + 1) * hd]
                     s = jax.lax.dot_general(
@@ -971,14 +1068,12 @@ def _tiles_kernel(
         m, l, acc = jax.lax.fori_loop(c_lo, num_chunks, make_body(True),
                                       (m0, l0, a0))
         for h in range(n_kv):
-            out_h = acc[h] / jnp.maximum(l[h], 1e-30)        # [NG, hd]
-            if hdp > hd:
-                out_h = jnp.pad(out_h, ((0, 0), (0, hdp - hd)))
+            out_h = (acc[h] / jnp.maximum(l[h], 1e-30)).astype(o_buf.dtype)
             for j in range(group):
-                o_buf[h * group + j] = out_h[
-                    j * span:(j + 1) * span].astype(o_buf.dtype)
+                o_buf[:, (h * group + j) * hd:(h * group + j + 1) * hd] = (
+                    out_h[j * span:(j + 1) * span])
         o_dma = pltpu.make_async_copy(
-            o_buf, o_hbm.at[:, pl.ds(tile_start, span), :], o_sem)
+            o_buf, o_hbm.at[pl.ds(tile_start, span), :], o_sem)
         o_dma.start()
         o_dma.wait()
 
@@ -1044,10 +1139,6 @@ def ragged_paged_attention(q, cache3, layer, batch, *, n_kv: int,
 
     tile_q = tile_q_for(q_bucket)
     scalars = (layer_arr, batch.q_starts, batch.q_lens, batch.seq_lens, pt)
-    # The tile kernel's q layout pads head_dim to a full lane tile so the
-    # head-major DMA minor is >= 128 and in-kernel head stacking stays at
-    # lane offset 0.
-    hdp = max(hd, 128)
 
     if tile_q == 1:
         # Decode: the builder packs decode tokens so flat index == row index.
@@ -1275,18 +1366,37 @@ def ragged_paged_attention(q, cache3, layer, batch, *, n_kv: int,
     # the kernel, KV double-buffers and compiler temps inside the ~16 MiB
     # physical VMEM.
     span = tile_q
-    per_row = n_q * hdp * 2 * jnp.dtype(q.dtype).itemsize + n_q * hd * 4
+    FQ = n_q * hd                       # flat q/o lane width (128-aligned)
+    per_row = FQ * 2 * jnp.dtype(q.dtype).itemsize + FQ * 4
     for mult in (4, 2):
         cand = tile_q * mult
         if cand <= q_bucket and cand * per_row <= 10 * 1024 * 1024:
             span = cand
             break
+    # Fused span-KV write (kv_new given): the kernel writes each tile's fresh
+    # KV into the row's pages itself, replacing the XLA token scatter (see
+    # _tiles_kernel docstring). Requires page-aligned span starts, which the
+    # caller guarantees only for page-multiple q buckets.
+    fused = kv_new is not None
+    if fused:
+        assert q_bucket % page_size == 0 and span % page_size == 0, (
+            f"fused tile KV write needs page-multiple spans "
+            f"(q_bucket={q_bucket}, span={span}, page_size={page_size})")
+        assert kv_new.shape == (T, W), (kv_new.shape, (T, W))
     # The fixed-size span DMA can overshoot a short row's tile-aligned
     # allotment into (and past) the following rows; pad q/o so the overshoot
     # stays in-bounds (the overshot rows are causally masked).
     T_pad = T + (span - tile_q)
     T_pad = cdiv(T_pad, tile_q) * tile_q
 
+    fused_in = [pl.BlockSpec(memory_space=pltpu.HBM)] if fused else []
+    fused_scratch = ([
+        pltpu.VMEM((span, W), cache3.dtype),            # kvn_buf
+        pltpu.SemaphoreType.DMA,                        # kvn_sem
+        pltpu.VMEM((page_size, W), cache3.dtype),       # pw_buf (tail RMW)
+        pltpu.SemaphoreType.DMA,                        # pw_sem
+        pltpu.SemaphoreType.DMA((span // page_size,)),  # wr_sems
+    ] if fused else [])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=len(scalars),
         grid=(B, cdiv(q_bucket, span)),
@@ -1294,35 +1404,56 @@ def ragged_paged_attention(q, cache3, layer, batch, *, n_kv: int,
             # Explicit HBM: with pl.ANY the compiler may promote small arrays
             # to VMEM, where unaligned slices are illegal.
             pl.BlockSpec(memory_space=pltpu.HBM),   # q
+        ] + fused_in + [                            # [kv_new]
             pl.BlockSpec(memory_space=pltpu.HBM),   # cache
         ] + extra_in,
-        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        out_specs=([pl.BlockSpec(memory_space=pltpu.HBM),
+                    pl.BlockSpec(memory_space=pltpu.HBM)] if fused
+                   else pl.BlockSpec(memory_space=pltpu.HBM)),
         scratch_shapes=[
-            pltpu.VMEM((n_q, span, hdp), q.dtype),                          # q_buf
+            pltpu.VMEM((span, FQ), q.dtype),                                # q_buf
             pltpu.VMEM((2, chunk_pages * page_size, W), cache3.dtype),
-            pltpu.VMEM((n_q, span, hdp), q.dtype),                          # o_buf
+            pltpu.VMEM((span, FQ), q.dtype),                                # o_buf
             pltpu.SemaphoreType.DMA,                                        # q_sem
             pltpu.SemaphoreType.DMA((2, chunk_pages)),                      # kv_sems
             pltpu.SemaphoreType.DMA,                                        # o_sem
-        ] + extra_scratch,
+        ] + fused_scratch + extra_scratch,
     )
     kernel = functools.partial(
         _tiles_kernel, page_size=page_size, span=span, align=tile_q,
         chunk_pages=chunk_pages, sm_scale=sm_scale, n_q=n_q, n_kv=n_kv, hd=hd,
-        W=W, hdp=hdp, staged=staged, window=window)
-    # Head-block-major q in / out: an XLA transpose at the boundary is a tiny
-    # relayout of q-sized data; it buys the kernel group-wide sublane-stacked
-    # matmuls (see _tiles_kernel).
-    q_hm = jnp.swapaxes(q, 0, 1)                     # [n_q, T, hd]
-    pads = ((0, 0), (0, T_pad - T), (0, hdp - hd))
-    if T_pad > T or hdp > hd:
-        q_hm = jnp.pad(q_hm, pads)
-    inputs = (q_hm, cache3, pt) if staged else (q_hm, cache3)
-    out3 = pl.pallas_call(
+        W=W, staged=staged, window=window, fused=fused)
+    # Flat [T, n_q*hd] q in/out: the projection GEMM's own dense layout, no
+    # boundary transpose (a head-major operand layout was getting folded into
+    # the wq GEMM, halving its MXU efficiency — r4 step profile).
+    q_fl = q.reshape(T, FQ)
+    if T_pad > T:
+        q_fl = jnp.pad(q_fl, ((0, T_pad - T), (0, 0)))
+    inputs = (q_fl,)
+    if fused:
+        kvn = kv_new if T_pad == T else jnp.pad(kv_new,
+                                                ((0, T_pad - T), (0, 0)))
+        inputs += (kvn,)
+    inputs += (cache3,)
+    if staged:
+        inputs += (pt,)
+    if fused:
+        # flat operand index of the cache: scalars, q, kv_new, cache.
+        aliases = {len(scalars) + 2: 1}
+        out_shape = [jax.ShapeDtypeStruct((T_pad, FQ), q.dtype),
+                     jax.ShapeDtypeStruct(cache3.shape, cache3.dtype)]
+    else:
+        aliases = {}
+        out_shape = jax.ShapeDtypeStruct((T_pad, FQ), q.dtype)
+    out2 = pl.pallas_call(
         kernel, grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_q, T_pad, hdp), q.dtype),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
+        input_output_aliases=aliases,
         interpret=interpret,
     )(*scalars, *inputs)
-    return jnp.swapaxes(out3[:, :T, :hd], 0, 1)
+    if fused:
+        out2, cache3 = out2
+        return out2[:T].reshape(T, n_q, hd), cache3
+    return out2[:T].reshape(T, n_q, hd)

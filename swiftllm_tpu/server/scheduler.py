@@ -383,6 +383,7 @@ class Scheduler:
                 continue
             n = min(r.num_uncached_tokens(), cfg.prefill_chunk_size,
                     self._padded_avail(state))
+            n = self._page_align_chunk(r, n)
             if n <= 0:
                 continue
             extra = self._blocks_after(r, n) - self._blocks_after(r, 1)
@@ -390,7 +391,9 @@ class Scheduler:
                 # Shrink the chunk to what fits in the pages we can actually get.
                 avail_pages = (self._blocks_after(r, 1)
                                + max(0, self.num_hbm_blocks - blocks_used[g]))
-                n = min(n, avail_pages * cfg.block_size - r.num_cached_tokens)
+                n = self._page_align_chunk(
+                    r, min(n, avail_pages * cfg.block_size
+                           - r.num_cached_tokens))
                 if n <= 0:
                     continue
                 extra = self._blocks_after(r, n) - self._blocks_after(r, 1)
@@ -456,6 +459,17 @@ class Scheduler:
         state["n_spec"] += 1
         return tuple(drafts)
 
+    def _page_align_chunk(self, r: Request, n: int) -> int:
+        """Round a prefill chunk DOWN to a page multiple unless it finishes
+        the request's uncached prefill. Keeps every chunk's START page-aligned
+        — the contract of the tile kernel's fused span-KV write
+        (ops/paged_attention._tiles_kernel), which replaces the per-token XLA
+        scatter. The final (any-length) chunk never misaligns a successor."""
+        if n >= r.num_uncached_tokens():
+            return min(n, r.num_uncached_tokens())
+        bs = self.engine_config.block_size
+        return (n // bs) * bs
+
     @staticmethod
     def _padded_avail(state: dict) -> int:
         """Largest tile-padded prefill chunk that still fits a group's budget."""
@@ -516,6 +530,7 @@ class Scheduler:
                 # conservative, still fits).
                 self.prefix_matcher(cand)
                 n = min(cand.num_uncached_tokens(), cfg.prefill_chunk_size)
+            n = self._page_align_chunk(cand, n)
             self.running_qs[g].append(cand)
             groups[g].append(ScheduledSeq(cand, n))
             self._group_state[g]["pre_padded"] += (

@@ -250,6 +250,17 @@ def build_step_batch(
             r = s.request
             n = s.n_tokens
             start, end = r.num_cached_tokens, r.num_cached_tokens + n
+            # Fused tile-kernel KV write contract (models/llama fused_tile):
+            # prefill spans in page-multiple q buckets must START page-
+            # aligned. The scheduler's _page_align_chunk guarantees this;
+            # direct callers get a clear host-side error instead of a wrong
+            # in-kernel write.
+            if (cfg.use_pallas and n > 1 and not s.drafts and key.spec == 0
+                    and Q % ps == 0 and ps <= 128):
+                assert start % ps == 0, (
+                    f"seq {r.seq_id}: prefill chunk starts at token {start}, "
+                    f"not page-aligned (page size {ps}) — size non-final "
+                    f"chunks to page multiples (scheduler._page_align_chunk)")
             mgr.allocate_for_seq(r.seq_id, end)
             if mgr.prefix_caching and end <= r.prompt_len:
                 # Prompt pages this chunk fills become matchable by requests

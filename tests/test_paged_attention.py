@@ -240,6 +240,89 @@ def test_contiguous_vs_scattered_same_result():
         compare(*case, max_chunk_pages=2)
 
 
+def compare_fused_write(rng, seq_specs, *, n_q=4, n_kv=2, hd=32, page_size=8,
+                        Pg=8, q_bucket=None, contig=False,
+                        max_chunk_pages=None, window=0):
+    """Tile kernel with the FUSED span-KV write (kv_new given, q_bucket > 1):
+    the kernel must (a) write each span's kv_new rows into the row's pages
+    exactly as the XLA scatter would, and (b) attend over the updated cache.
+    Contract: every span start (seq_len - q_len) is page-aligned."""
+    for q_len, seq_len in seq_specs:
+        assert (seq_len - q_len) % page_size == 0, "test spec must be aligned"
+    q, cache, batch, q_bucket = make_case(
+        rng, seq_specs, n_q=n_q, n_kv=n_kv, hd=hd, page_size=page_size,
+        Pg=Pg, q_bucket=q_bucket, contig=contig)
+    assert q_bucket % page_size == 0, "pick q_bucket a page multiple"
+    T = q.shape[0]
+    S = cache.shape[0]
+    W = 2 * n_kv * hd
+    kv_new = rng.normal(size=(T, W)).astype(np.float32)
+
+    # Expected: scatter-then-attend (exactly what the unfused path does).
+    pt = np.asarray(batch.page_table)
+    q_starts = np.asarray(batch.q_starts)
+    cache_ref = np.array(cache)                       # [S, 2, n_kv, hd]
+    for b, (q_len, seq_len) in enumerate(seq_specs):
+        for i in range(q_len):
+            pos = seq_len - q_len + i
+            slot = pt[b, pos // page_size] * page_size + pos % page_size
+            cache_ref[slot] = kv_new[q_starts[b] + i].reshape(2, n_kv, hd)
+    ref = _ragged_paged_attention_jnp(q, jnp.asarray(cache_ref), batch,
+                                      page_size=page_size, sm_scale=0.125,
+                                      q_bucket=q_bucket, window=window)
+
+    stacked = jnp.stack([jnp.zeros_like(jnp.asarray(cache)),
+                         jnp.asarray(cache),
+                         jnp.ones_like(jnp.asarray(cache))])
+    cache3 = stacked.reshape(3, S, W)
+    got, cache_out = ragged_paged_attention(
+        q, cache3, jnp.int32(1), batch, n_kv=n_kv, page_size=page_size,
+        sm_scale=0.125, q_bucket=q_bucket, kv_new=jnp.asarray(kv_new),
+        interpret=INTERPRET, max_chunk_pages=max_chunk_pages, window=window)
+    # (a) the cache update matches the scatter exactly (same dtype bytes),
+    #     and other layers are untouched.
+    np.testing.assert_array_equal(np.asarray(cache_out[1]),
+                                  cache_ref.reshape(S, W))
+    np.testing.assert_array_equal(np.asarray(cache_out[0]),
+                                  np.zeros((S, W), cache_ref.dtype))
+    # (b) attention parity over real token rows.
+    q_lens = np.asarray(batch.q_lens)
+    for b in range(len(q_lens)):
+        if q_lens[b] == 0:
+            continue
+        sl = slice(int(q_starts[b]), int(q_starts[b] + q_lens[b]))
+        np.testing.assert_allclose(np.asarray(got[sl]), np.asarray(ref[sl]),
+                                   atol=ATOL, rtol=1e-4,
+                                   err_msg=f"row {b} (q_len={q_lens[b]})")
+
+
+def test_fused_kv_write_full_pages():
+    # spans covering whole pages only: the direct kvn→cache page DMAs.
+    rng = np.random.default_rng(40)
+    compare_fused_write(rng, [(16, 16), (8, 40)])
+
+
+def test_fused_kv_write_ragged_tail():
+    # spans ending mid-page: the read-modify-write tail path.
+    rng = np.random.default_rng(41)
+    compare_fused_write(rng, [(12, 12), (5, 21), (9, 33)])
+
+
+def test_fused_kv_write_multi_tile_span():
+    # one long prefill crossing several grid tiles, ragged final page.
+    rng = np.random.default_rng(42)
+    compare_fused_write(rng, [(200, 200), (30, 62)], Pg=32, q_bucket=256,
+                        max_chunk_pages=4)
+
+
+def test_fused_kv_write_chunked_tail_contig():
+    # chunk of a longer sequence (aligned start) + contiguous pool pages
+    # (coalesced chunk DMAsinteroperate with the fused write).
+    rng = np.random.default_rng(43)
+    compare_fused_write(rng, [(16, 48), (8, 72)], Pg=16, contig=True,
+                        max_chunk_pages=2)
+
+
 def test_fp8_cache_decode():
     # Kernel handles an fp8 cache: upcasts K/V to the query dtype internally.
     rng = np.random.default_rng(8)

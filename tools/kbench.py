@@ -137,6 +137,8 @@ def bench_decode(name, B, hist, *, n_q=32, n_kv=4, hd=64, page_size=64,
 
 
 def main():
+    import bench
+    bench._warm_reverse_channel()   # overlap the tunnel's first-get stall
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("all", "tile"):
         # bench prefill step shapes: 4 rows x 512-token chunks, growing hist.
@@ -144,7 +146,10 @@ def main():
                    [512] * 4 + [0] * 4)
         bench_tile("tile_4x512_hist2048", 8, [512] * 4 + [0] * 4,
                    [2048] * 4 + [0] * 4)
-        bench_tile("tile_8x512_hist2048", 8, [512] * 8, [2048] * 8)
+        # 8 x 512-token spans need a 4096-token bucket (8*512 > 2048; an
+        # undersized bucket DMAs q out of bounds and ABORTS the backend).
+        bench_tile("tile_8x512_hist2048", 8, [512] * 8, [2048] * 8,
+                   q_bucket=4096)
         bench_tile("tile_1x2048_hist2048", 8, [2048] + [0] * 7,
                    [2048] + [0] * 7)
         # Skipped-grid-step overhead probe: 1 active span of 63 grid steps.
