@@ -86,9 +86,18 @@ class StepBatch:
                                      #        (their write is fused in-kernel)
 
 
-def unpack_step_batch(flat: jax.Array, T: int, B: int, Pg: int) -> StepBatch:
+def unpack_step_batch(flat: jax.Array, T: int, B: int, Pg: int, *,
+                      page_size: int, garbage_slot: int) -> StepBatch:
     """Inverse of worker.batch_builder.pack_step_batch for ONE dp shard's
-    slice (static offsets — free under jit)."""
+    slice (static offsets — free under jit).
+
+    The per-token fields (positions, kv_slots, kv_slots_scatter,
+    feedback_read, lora_ids) are DERIVED here from the row fields + page
+    table instead of shipped over the host link: the wire carries only
+    token_ids, 12 [B] row fields and the page table (~5x smaller — the
+    tunneled h2d path moves ~30 MB/s, so [T]-sized fields cost real
+    milliseconds per prefill step). Derivation is a handful of [T] integer
+    ops + one searchsorted over the (ascending) q_starts."""
     off = 0
 
     def take(n):
@@ -98,9 +107,6 @@ def unpack_step_batch(flat: jax.Array, T: int, B: int, Pg: int) -> StepBatch:
         return out
 
     token_ids = take(T)
-    positions = take(T)
-    kv_slots = take(T)
-    feedback_read = take(T)
     q_starts = take(B)
     q_lens = take(B)
     seq_lens = take(B)
@@ -111,10 +117,30 @@ def unpack_step_batch(flat: jax.Array, T: int, B: int, Pg: int) -> StepBatch:
     seeds = jax.lax.bitcast_convert_type(take(B), jnp.uint32)
     feedback_write = take(B)
     decode_row = take(B) != 0
-    kv_slots_scatter = take(T)
-    lora_ids = take(T)
+    frd_row = take(B)
+    lora_row = take(B)
     page_table = take(B * Pg).reshape(B, Pg)
-    return StepBatch(token_ids=token_ids, positions=positions, kv_slots=kv_slots,
+
+    # --- derive the per-token fields -------------------------------------
+    # Row of token t: q_starts ascend (builder packs rows in cursor order,
+    # pad rows at T), so the owning row is the last start <= t. Tokens in
+    # tile-alignment gaps and pad tokens resolve to `valid == False`.
+    t_iota = jnp.arange(T, dtype=jnp.int32)
+    row = jnp.clip(jnp.searchsorted(q_starts, t_iota, side="right") - 1,
+                   0, B - 1).astype(jnp.int32)
+    start = q_starts[row]
+    qlen = q_lens[row]
+    o = t_iota - start
+    valid = (o >= 0) & (o < qlen)
+    pos = jnp.where(valid, seq_lens[row] - qlen + o, 0)
+    pidx = jnp.clip(pos // page_size, 0, Pg - 1)
+    slot = page_table[row, pidx] * page_size + pos % page_size
+    kv_slots = jnp.where(valid, slot, garbage_slot)
+    kv_slots_scatter = jnp.where(valid & ~decode_row[row], slot, garbage_slot)
+    feedback_read = jnp.where(valid & (o == qlen - 1), frd_row[row], -1)
+    lora_ids = jnp.where(valid, lora_row[row], 0)
+
+    return StepBatch(token_ids=token_ids, positions=pos, kv_slots=kv_slots,
                      q_starts=q_starts, q_lens=q_lens, seq_lens=seq_lens,
                      page_table=page_table, sample_mask=sample_mask,
                      temperature=temperature, top_p=top_p, top_k=top_k,
@@ -757,7 +783,9 @@ def make_step_fn(mesh, cfg: LlamaModelConfig, *, page_size: int, q_bucket: int,
         "multi_step is a pure-decode variant (no spec spans, no logits)"
 
     def step(params, kv_cache, feedback, flat_batch):
-        batch = unpack_step_batch(flat_batch, T, B, Pg)
+        batch = unpack_step_batch(
+            flat_batch, T, B, Pg, page_size=page_size,
+            garbage_slot=kv_cache.shape[1] - page_size)
         if multi_step > 1:
             return decode_multi_step(
                 params, kv_cache, feedback, batch, multi_step=multi_step,

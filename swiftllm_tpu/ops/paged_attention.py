@@ -921,14 +921,25 @@ def _tiles_kernel(
         # (a [NG, hd] VMEM copy each — rebuilding them per CHUNK per head
         # measured as pure VPU overhead) and the rider lane block (constant).
         qhs = [qh_rows(h) for h in range(n_kv)]
-        # MXU row-sum rider: [chunk, hd] lane block whose lane 0 is one.
+        # Compute sub-chunk length (DMA stays chunk-granular; see make_body):
+        # 512 keys per compute step bounds the f32 temps at [NG, 512].
+        # SWIFTLLM_TILE_SUBSPLIT=1 forces the split at ANY chunk size so the
+        # interpret-mode parity tests can exercise it on tiny shapes.
+        if chunk > 512 and chunk % 512 == 0:
+            NSUB = chunk // 512
+        elif chunk % 2 == 0 and os.environ.get("SWIFTLLM_TILE_SUBSPLIT") == "1":
+            NSUB = 2
+        else:
+            NSUB = 1
+        SUBLEN = chunk // NSUB
+        # MXU row-sum rider: [SUBLEN, hd] lane block whose lane 0 is one.
         # p @ [V ‖ e0] yields p@V AND sum(p) in ONE matmul — hd=64 leaves
         # half the MXU output lanes idle, so the sum column rides free and
         # the separate [NG, chunk] f32 sum pass (the kernel is VPU-bound at
         # hd=64) disappears. p is cast to bf16 INSIDE the exp2 pass (fused);
         # numerator and denominator then see the SAME rounded p, so the
         # normalization cancels most of the rounding.
-        e0 = (jax.lax.broadcasted_iota(jnp.int32, (chunk, hd), 1)
+        e0 = (jax.lax.broadcasted_iota(jnp.int32, (SUBLEN, hd), 1)
               == 0).astype(q4.dtype)
 
         # Query position of stacked row i: its span position is i % span.
@@ -941,6 +952,10 @@ def _tiles_kernel(
         # hd=64 the softmax's elementwise VPU work rivals the score matmuls'
         # MXU time, so shaving passes over [NG, chunk] is first-order.
         K2E = sm_scale * 1.4426950408889634
+        # Mask-multiply softmax (see make_body): env-sweepable; windows keep
+        # the select path (WIN_NEG sentinel ordering needs masked scores).
+        maskmul = (not window
+                   and os.environ.get("SWIFTLLM_TILE_MASKMUL", "1") == "1")
         m0 = jnp.full((n_kv, NG, 1), NEG_INF, jnp.float32)
         l0 = jnp.zeros((n_kv, NG, 1), jnp.float32)
         a0 = jnp.zeros((n_kv, NG, hd), jnp.float32)
@@ -954,7 +969,6 @@ def _tiles_kernel(
             (cheap, single-phase) geometry experiments."""
 
             def body(c, carry):
-                m, l, acc = carry
                 slot = jax.lax.rem(c, 2)
 
                 @pl.when(c + 1 < num_chunks)
@@ -963,105 +977,141 @@ def _tiles_kernel(
                                 dma_sel)
 
                 wait_chunk(slot, c * chunk_pages, pages_needed, dma_sel)
-                kv2 = kv_buf[slot].reshape(chunk, W)
-                if masked:
-                    key_pos = c * chunk + jax.lax.broadcasted_iota(
-                        jnp.int32, (1, chunk), 1)
-                    # Zero rows never DMA'd (stale VMEM): 0 * NaN poisons p@v.
-                    # Only the FINAL chunk can be partially covered (earlier
-                    # chunks are fully DMA'd), so the [chunk, W] masking pass
-                    # is gated on it — steady-state chunks skip it entirely.
-                    key_col = (c * chunk + jax.lax.broadcasted_iota(
-                        jnp.int32, (chunk, 1), 0))
-                    lim = pages_needed * (chunk // chunk_pages)
-                    kv2 = jax.lax.cond(
-                        lim < (c + 1) * chunk,
-                        lambda k: jnp.where(key_col < lim, k, 0),
-                        lambda k: k, kv2)
-                if W > 2 * KH:
-                    # fp8 per-token scales: recover in SCORE space via a
-                    # one-hot selector matmul (MXU transposes the scale
-                    # column for free).
-                    ri2 = jax.lax.broadcasted_iota(jnp.int32, (2, W), 0)
-                    ci2 = jax.lax.broadcasted_iota(jnp.int32, (2, W), 1)
-                    E2 = (ci2 == 2 * KH + ri2).astype(q4.dtype)
-                    sel = jax.lax.dot_general(
-                        E2, kv2.astype(q4.dtype), (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                    inv2 = 1.0 / jnp.maximum(sel, 1e-20)
-                    # Fold the log2-space conversion (or, for window models
-                    # which stay in linear space, sm_scale) into the unscale.
-                    krow = inv2[0:1] * (sm_scale if window else K2E)
-                    vrow = inv2[1:2]                         # [1, chunk]
-                else:
-                    krow = vrow = None
-                if masked:
-                    valid = (key_pos <= q_pos) & (key_pos < seq_len)
-                    # Sliding window: keys in (q_pos - window, q_pos] only.
-                    # Masked at WIN_NEG (below m0) because early chunks can
-                    # be window-masked in FULL — see the WIN_NEG comment.
-                    in_win = (key_pos > q_pos - window) if window else None
 
-                new_m, new_l, new_acc = [], [], []
-                for h in range(n_kv):
-                    qh = qhs[h]                              # [NG, hd]
-                    kh = kv2[:, h * hd:(h + 1) * hd]
-                    vh = kv2[:, KH + h * hd:KH + (h + 1) * hd]
-                    s = jax.lax.dot_general(
-                        qh, kh.astype(qh.dtype), (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32)  # RAW scores
-                    if krow is not None:   # fp8: per-key unscale (+scale)
-                        s = s * krow
-                    elif window:
-                        s = s * sm_scale   # linear space (WIN_NEG sentinel
-                                           # ordering vs NEG_INF needs it)
+                # Compute in SUB-chunks under a fori_loop: the f32 score/prob
+                # temps become [NG, SUBLEN] instead of [NG, chunk], and the
+                # loop is a HARD liveness boundary (a python-unrolled split
+                # measured no stack reduction — Mosaic interleaved the
+                # sub-chunks and kept every temp live; at span 512 / chunk
+                # 1024 the full-chunk temps hit ~99 MiB of scoped VMEM, over
+                # the 128 MiB plan budget once a mixed program adds the
+                # decode kernel). The DMA stays chunk-granular.
+                def sub(u, carry2):
+                    m, l, acc = carry2
+                    base_u = u * SUBLEN
+                    kvs = kv_buf[slot, pl.ds(base_u, SUBLEN)].reshape(
+                        SUBLEN, W)                           # [SUBLEN, W]
                     if masked:
-                        s = jnp.where(valid, s, NEG_INF)
-                        if in_win is not None:
-                            s = jnp.where(in_win, s, WIN_NEG)
-                    if window:
-                        mi = jnp.maximum(
-                            m[h], jnp.max(s, axis=-1, keepdims=True))
-                        p = jnp.exp(s - mi)
-                        scale = jnp.exp(m[h] - mi)
+                        # Zero rows never DMA'd (stale VMEM): 0 * NaN poisons
+                        # p@v. Only the final chunk can be partially covered,
+                        # so the masking pass is gated on it.
+                        key_col = (c * chunk + base_u
+                                   + jax.lax.broadcasted_iota(
+                                       jnp.int32, (SUBLEN, 1), 0))
+                        lim = pages_needed * (chunk // chunk_pages)
+                        kvs = jax.lax.cond(
+                            lim < c * chunk + base_u + SUBLEN,
+                            lambda k: jnp.where(key_col < lim, k, 0),
+                            lambda k: k, kvs)
+                    if W > 2 * KH:
+                        # fp8 per-token scales: recover in SCORE space via a
+                        # one-hot selector matmul (MXU transposes the scale
+                        # column for free).
+                        ri2 = jax.lax.broadcasted_iota(jnp.int32, (2, W), 0)
+                        ci2 = jax.lax.broadcasted_iota(jnp.int32, (2, W), 1)
+                        E2 = (ci2 == 2 * KH + ri2).astype(q4.dtype)
+                        sel = jax.lax.dot_general(
+                            E2, kvs.astype(q4.dtype), (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                        inv2 = 1.0 / jnp.maximum(sel, 1e-20)
+                        # Fold the log2-space conversion (or, for window
+                        # models which stay in linear space, sm_scale) in.
+                        krow = inv2[0:1] * (sm_scale if window else K2E)
+                        vrow = inv2[1:2]                     # [1, SUBLEN]
                     else:
-                        # m/l live in LOG2 space: the row max of the raw
-                        # scores is rescaled on the [NG, 1] axis (cheap) and
-                        # exp2's fused multiply applies K2E to the full tile
-                        # in one pass — no standalone sm_scale pass, no
-                        # exp-internal log2e multiply.
-                        if krow is None:
-                            mi = jnp.maximum(
-                                m[h], jnp.max(s, axis=-1, keepdims=True) * K2E)
-                            p = jnp.exp2(s * K2E - mi)
-                        else:   # fp8: krow already folded K2E into s
+                        krow = vrow = None
+                    if masked:
+                        key_pos = (c * chunk + base_u
+                                   + jax.lax.broadcasted_iota(
+                                       jnp.int32, (1, SUBLEN), 1))
+                        valid = (key_pos <= q_pos) & (key_pos < seq_len)
+                        # Sliding window: keys in (q_pos - window, q_pos]
+                        # only. Masked at WIN_NEG (below m0) because early
+                        # chunks can be window-masked in FULL.
+                        in_win = ((key_pos > q_pos - window) if window
+                                  else None)
+                        # Mask-MULTIPLY (non-window): instead of a per-head
+                        # select pass over the scores, zero the PROBABILITIES
+                        # with one shared mask. The row max then runs over
+                        # raw scores — any max >= the masked max keeps the
+                        # online softmax exact (numerator and denominator
+                        # scale identically; zeroed p's enter neither), and
+                        # invalid keys are real finite cache tokens, so the
+                        # raw max has the same magnitude as the masked one.
+                        mask01 = (valid.astype(jnp.float32)
+                                  if maskmul else None)
+
+                    new_m, new_l, new_acc = [], [], []
+                    for h in range(n_kv):
+                        qh = qhs[h]                          # [NG, hd]
+                        kh = kvs[:, h * hd:(h + 1) * hd]
+                        vh = kvs[:, KH + h * hd:KH + (h + 1) * hd]
+                        s = jax.lax.dot_general(
+                            qh, kh.astype(qh.dtype), (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # RAW scores
+                        if krow is not None:  # fp8: per-key unscale (+scale)
+                            s = s * krow
+                        elif window:
+                            s = s * sm_scale  # linear space (WIN_NEG sentinel
+                                              # ordering vs NEG_INF needs it)
+                        if masked and not maskmul:
+                            s = jnp.where(valid, s, NEG_INF)
+                            if in_win is not None:
+                                s = jnp.where(in_win, s, WIN_NEG)
+                        if window:
                             mi = jnp.maximum(
                                 m[h], jnp.max(s, axis=-1, keepdims=True))
-                            p = jnp.exp2(s - mi)
-                        scale = jnp.exp2(m[h] - mi)
-                    if vrow is not None or hd >= 128:
-                        # fp8: l needs sum(p) UNscaled while p@V needs
-                        # p*vrow — the rider column can't serve both. And at
-                        # hd >= 128 the output lanes are already full, so the
-                        # rider would WIDEN the matmul instead of riding free.
-                        p_v = p * vrow if vrow is not None else p
-                        li = l[h] * scale + jnp.sum(p, axis=-1, keepdims=True)
-                        ai = acc[h] * scale + jax.lax.dot_general(
-                            p_v.astype(qh.dtype), vh.astype(qh.dtype),
-                            (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-                    else:
-                        pv = jax.lax.dot_general(
-                            p.astype(qh.dtype),
-                            jnp.concatenate([vh.astype(qh.dtype), e0], axis=1),
-                            (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)  # [NG, 2*hd]
-                        li = l[h] * scale + pv[:, hd:hd + 1]
-                        ai = acc[h] * scale + pv[:, :hd]
-                    new_m.append(mi)
-                    new_l.append(li)
-                    new_acc.append(ai)
-                return (jnp.stack(new_m), jnp.stack(new_l), jnp.stack(new_acc))
+                            p = jnp.exp(s - mi)
+                            scale = jnp.exp(m[h] - mi)
+                        else:
+                            # m/l live in LOG2 space: the row max of the raw
+                            # scores is rescaled on the [NG, 1] axis (cheap)
+                            # and exp2's fused multiply applies K2E to the
+                            # full tile in one pass — no standalone sm_scale
+                            # pass, no exp-internal log2e multiply.
+                            if krow is None:
+                                mi = jnp.maximum(
+                                    m[h],
+                                    jnp.max(s, axis=-1, keepdims=True) * K2E)
+                                p = jnp.exp2(s * K2E - mi)
+                            else:   # fp8: krow already folded K2E into s
+                                mi = jnp.maximum(
+                                    m[h], jnp.max(s, axis=-1, keepdims=True))
+                                p = jnp.exp2(s - mi)
+                            scale = jnp.exp2(m[h] - mi)
+                        if masked and maskmul:
+                            p = p * mask01
+                        if vrow is not None or hd >= 128:
+                            # fp8: l needs sum(p) UNscaled while p@V needs
+                            # p*vrow — the rider column can't serve both. And
+                            # at hd >= 128 the output lanes are already full,
+                            # so the rider would WIDEN the matmul instead of
+                            # riding free.
+                            p_v = p * vrow if vrow is not None else p
+                            li = (l[h] * scale
+                                  + jnp.sum(p, axis=-1, keepdims=True))
+                            ai = acc[h] * scale + jax.lax.dot_general(
+                                p_v.astype(qh.dtype), vh.astype(qh.dtype),
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+                        else:
+                            pv = jax.lax.dot_general(
+                                p.astype(qh.dtype),
+                                jnp.concatenate([vh.astype(qh.dtype), e0],
+                                                axis=1),
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+                            li = l[h] * scale + pv[:, hd:hd + 1]
+                            ai = acc[h] * scale + pv[:, :hd]
+                        new_m.append(mi)
+                        new_l.append(li)
+                        new_acc.append(ai)
+                    return (jnp.stack(new_m), jnp.stack(new_l),
+                            jnp.stack(new_acc))
+
+                if NSUB == 1:
+                    return sub(0, carry)
+                return jax.lax.fori_loop(0, NSUB, sub, carry)
 
             return body
 
@@ -1293,10 +1343,14 @@ def ragged_paged_attention(q, cache3, layer, batch, *, n_kv: int,
             chunk_pages=chunk_pages, sm_scale=sm_scale, n_q=n_q,
             n_kv=n_kv, hd=hd, n_rows=Bp, R=R, br=br, W=W, staged=staged,
             window=window)
+        # Realistic VMEM hint: kv_buf is guarded to <= 8 MiB, w_buf/scores are
+        # small. A blanket 100 MiB hint made XLA's VMEM planner reject MIXED
+        # programs (decode + tile kernels in one step: 100 + 100 > the chip's
+        # 128 MiB plan budget).
         out, cache3 = pl.pallas_call(
             kernel, grid_spec=grid_spec,
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024),
+                vmem_limit_bytes=32 * 1024 * 1024),
             out_shape=[jax.ShapeDtypeStruct((Bp * n_q, hd), q.dtype),
                        jax.ShapeDtypeStruct(cache3.shape, cache3.dtype)],
             input_output_aliases=aliases,
@@ -1311,7 +1365,11 @@ def ragged_paged_attention(q, cache3, layer, batch, *, n_kv: int,
     # per-chunk fixed cost (DMA waits + loop bookkeeping) multiplies by
     # tiles x chunks. Use larger chunks than the decode path (2 MiB/slot) to
     # cut the iteration count; the 512-slot semaphore cap still binds.
-    tile_tokens = max(page_size, (2 * 1024 * 1024) // (W * itemsize))
+    # Oversized chunks waste score/pv work on masked keys when histories are
+    # short (num_chunks rounds kv_needed UP to a whole chunk) — env-sweepable.
+    tile_budget = int(os.environ.get("SWIFTLLM_TILE_CHUNK_BYTES",
+                                     2 * 1024 * 1024))
+    tile_tokens = max(page_size, tile_budget // (W * itemsize))
     chunk_pages = max(1, min(Pg, tile_tokens // page_size))
     chunk_pages = min(chunk_pages, 32)
     if max_chunk_pages is not None:
@@ -1449,7 +1507,12 @@ def ragged_paged_attention(q, cache3, layer, batch, *, n_kv: int,
         kernel, grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            # The tile kernel's big VMEM tenants are the f32 score/prob temps
+            # ([NG, SUBLEN] arrays — the sub-chunk split in make_body exists
+            # to bound them); 64 MiB leaves room for the decode kernel's
+            # 32 MiB in mixed programs (XLA plans with these hints and
+            # rejects programs whose hints sum past the 128 MiB budget).
+            vmem_limit_bytes=64 * 1024 * 1024),
         input_output_aliases=aliases,
         interpret=interpret,
     )(*scalars, *inputs)

@@ -335,14 +335,18 @@ def build_step_batch(
     return batch, key, rows
 
 
-# Packed-buffer layout: 6 token-axis fields (token_ids, positions, kv_slots,
-# feedback_read, kv_slots_scatter, lora_ids), 10 row-axis fields, and the
-# [B, Pg] page table — see pack_step_batch below. packed_len is THE single
-# source of truth for the buffer length (model._lower and
-# distributed.broadcast_step both derive from it; a hand-copied formula went
-# stale once already).
-N_TOKEN_FIELDS = 6
-N_ROW_FIELDS = 10
+# Packed-buffer layout: ONE token-axis field (token_ids — the only per-token
+# data the device cannot derive), 12 row-axis fields, and the [B, Pg] page
+# table — see pack_step_batch below. positions / kv_slots / kv_slots_scatter
+# / feedback_read / lora_ids are DERIVED ON DEVICE from the row fields
+# (models.llama.unpack_step_batch): a tunneled chip moves ~30 MB/s, so the
+# five [T]-sized fields cost ~2.6 ms of link occupancy per 4096-token prefill
+# step — pure waste when they are integer arithmetic over [B] data.
+# packed_len is THE single source of truth for the buffer length
+# (model._lower and distributed.broadcast_step both derive from it; a
+# hand-copied formula went stale once already).
+N_TOKEN_FIELDS = 1
+N_ROW_FIELDS = 12
 
 
 def packed_len(key: BucketKey, dp: int = 1) -> int:
@@ -355,10 +359,14 @@ def pack_step_batch(batch: StepBatch, dp: int) -> np.ndarray:
     """Flatten the StepBatch into ONE i32 buffer (f32 fields bitcast), laid out
     dp-major so a P("dp") sharding splits it per group.
 
-    One device_put instead of 14: each put costs ~0.3 ms of issue latency on a
-    tunneled chip, which at decode step times of a few ms was the single
-    largest host-side cost. The jitted step unpacks with static slices
-    (models.llama.unpack_step_batch)."""
+    One device_put instead of 14 — and only the UNDERIVABLE fields: token_ids,
+    the per-row arrays, and the page table. The jitted step reconstructs the
+    per-token fields from those (models.llama.unpack_step_batch).
+
+    CONTRACT (builder-upheld): feedback_read may only be set (>= 0) at a
+    row's LAST span token — the engine's async pipeline only ever defers the
+    final sampled token — and lora_ids is constant within a row's span. Both
+    therefore compress to [B] row fields on the wire."""
     T = batch.token_ids.shape[0] // dp
     B = batch.q_starts.shape[0] // dp
 
@@ -368,13 +376,25 @@ def pack_step_batch(batch: StepBatch, dp: int) -> np.ndarray:
             a = a.astype(np.int32)
         return a.reshape(dp, -1).view(np.int32)
 
-    parts = [i32(batch.token_ids), i32(batch.positions), i32(batch.kv_slots),
-             i32(batch.feedback_read),
+    q_starts = np.asarray(batch.q_starts)
+    q_lens = np.asarray(batch.q_lens)
+    # q_starts are group-LOCAL (group g's tokens live at [g*T, (g+1)*T) in
+    # the flat arrays); offset per group to index the flat [dp*T] fields.
+    goff = np.repeat(np.arange(dp, dtype=np.int64) * T, B)
+    flat_last = np.clip(goff + q_starts + q_lens - 1, 0, dp * T - 1)
+    frd_row = np.where(q_lens > 0,
+                       np.asarray(batch.feedback_read)[flat_last],
+                       -1).astype(np.int32)
+    flat_first = np.clip(goff + q_starts, 0, dp * T - 1)
+    lora_row = np.where(q_lens > 0,
+                        np.asarray(batch.lora_ids)[flat_first],
+                        0).astype(np.int32)
+
+    parts = [i32(batch.token_ids),
              i32(batch.q_starts), i32(batch.q_lens), i32(batch.seq_lens),
              i32(batch.sample_mask), i32(batch.temperature), i32(batch.top_p),
              i32(batch.top_k), i32(batch.seeds), i32(batch.feedback_write),
-             i32(batch.decode_row), i32(batch.kv_slots_scatter),
-             i32(batch.lora_ids),
+             i32(batch.decode_row), i32(frd_row), i32(lora_row),
              i32(batch.page_table)]
     return np.concatenate(parts, axis=1).reshape(-1)
 

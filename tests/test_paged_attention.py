@@ -323,6 +323,18 @@ def test_fused_kv_write_chunked_tail_contig():
                         max_chunk_pages=2)
 
 
+def test_subchunk_split_parity(monkeypatch):
+    # The tile kernel computes big KV chunks in TWO chained sub-chunks to
+    # bound scoped-VMEM (normally only at chunk >= 1024 tokens); force the
+    # split on tiny shapes and check parity, incl. an odd causal boundary.
+    monkeypatch.setenv("SWIFTLLM_TILE_SUBSPLIT", "1")
+    rng = np.random.default_rng(44)
+    case = make_case(rng, [(8, 40), (16, 16), (5, 29)], Pg=16)
+    compare(*case, max_chunk_pages=4)
+    rng = np.random.default_rng(45)
+    compare_fused_write(rng, [(16, 48), (9, 17)], Pg=16, max_chunk_pages=4)
+
+
 def test_fp8_cache_decode():
     # Kernel handles an fp8 cache: upcasts K/V to the query dtype internally.
     rng = np.random.default_rng(8)
