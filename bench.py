@@ -6,15 +6,22 @@ stalls ~3.5 min on each process's first device→host transfer, so subprocess
 isolation would pay that stall per config; in-process it is paid once,
 overlapped with the first config's weight upload by a warmup thread):
 
-  1. decode  8B-dims INT8  b16 c128    (BASELINE.md north-star config)
-  2. decode  1B-dims bf16  b64 c128
-  3. decode  1B-dims bf16  b8  c8192   (long context)
-  4. prefill 1B-dims bf16  b8  c2048
-  5. decode  8B-dims INT4  b16 c128
-  6. decode  1B-dims bf16  b1  c131072 (reference's 131Ki-token chart point,
-                                        docs/assets/offline-llama-3-7b-a100.png)
-  7. decode  1B-dims bf16  b8  c128 spec-k4 (speculative-verify span steps,
-                                        full-acceptance upper bound)
+  1.  decode  8B-dims INT8  b16 c128    (BASELINE.md north-star config)
+  2.  decode  1B-dims bf16  b64 c128
+  3.  decode  1B-dims bf16  b8  c8192   (long context)
+  4.  prefill 1B-dims bf16  b8  c2048
+  5.  decode  8B-dims INT4  b16 c128
+  6.  decode  1B-dims bf16  b1  c131072 (reference's 131Ki-token chart point,
+                                         docs/assets/offline-llama-3-7b-a100.png)
+  7.  decode  1B-dims bf16  b8  c128 spec-k4 (speculative-verify span steps,
+                                         full-acceptance upper bound)
+  8.  decode  1B-dims bf16  b128 c128   (reference chart-grid extreme)
+  9.  prefill 1B-dims bf16  b1  c16384  (single-sequence long prefill)
+  10. SARATHI mixed-step cost (decode TPOT with a concurrent chunk stream
+      vs pure decode + pure chunks run separately)
+  11. fp8 KV capacity (profiled pages bf16 vs fp8 at fixed HBM)
+  12. REALIZED speculative decoding through the full engine (lookup-friendly
+      workload; reports measured acceptance and tok/s spec-on vs spec-off)
 
 ``vs_baseline`` is the fraction of the chip's roofline ("speed of light")
 achieved. For decode that is HBM bandwidth: a step at batch B must at minimum
@@ -22,7 +29,9 @@ stream all weights plus the batch's KV once, so
 
     tokens/s(SoL) = B * BW / (weight_bytes + B * kv_bytes_per_seq)
 
-For prefill it is MXU compute: tokens/s(SoL) = peak_flops / (2 * n_params).
+For prefill it is MXU compute with standard MFU accounting:
+tokens/s(SoL) = peak_flops / (2 * n_params + causal-attention FLOPs/token);
+the r1-r3 GEMM-only ratio is also printed as ``vs_gemm_roofline``.
 This keeps the number hardware-honest (the reference's published baselines
 are vs vLLM on NVIDIA GPUs and not comparable chip-for-chip; see BASELINE.md).
 
@@ -90,7 +99,7 @@ SUITE = [
     ["--model", "8b", "--quant", "int8", "--kv-capacity"],
     # REALIZED spec decoding through the full engine on a lookup-friendly
     # (periodic) workload: tok/s spec-on vs spec-off + measured acceptance.
-    ["--model", "1b", "--batch", "8", "--context", "120", "--steps", "48",
+    ["--model", "1b", "--batch", "8", "--context", "120", "--steps", "24",
      "--spec-realized"],
 ]
 
@@ -367,7 +376,7 @@ def run_one(args):
         from swiftllm_tpu.server.engine import Engine
         from swiftllm_tpu.server.structs import RawRequest
 
-        out_len = max(args.steps * 4, 128)
+        out_len = max(args.steps * 2, 64)
         rng_s = np.random.default_rng(0)
         prompts = []
         for i in range(args.batch):
@@ -391,12 +400,12 @@ def run_one(args):
                 loops = asyncio.create_task(engine.start_all_event_loops())
                 # warm: one short request compiles the buckets off the clock
                 await asyncio.wait_for(engine.add_request_and_wait(
-                    RawRequest("", 8, prompt_token_ids=prompts[0])), 600)
+                    RawRequest("", 8, prompt_token_ids=prompts[0])), 900)
                 t0 = time.perf_counter()
                 outs = await asyncio.wait_for(asyncio.gather(*[
                     engine.add_request_and_wait(
                         RawRequest("", out_len, prompt_token_ids=p))
-                    for p in prompts]), 600)
+                    for p in prompts]), 900)
                 dt = time.perf_counter() - t0
                 loops.cancel()
                 n_out = sum(len(t) for _, t in outs)

@@ -75,6 +75,7 @@ async def main_async(args):
         prefill_chunk_size=args.prefill_chunk_size,
         max_seqs_in_block_table=max(args.max_batch_size * 4, 64),
         enable_prefix_caching=args.enable_prefix_caching,
+        multi_step_decode=args.multi_step,
         use_pallas=not args.cpu)
 
     engine = Engine(ec, mc)
@@ -179,6 +180,10 @@ def main():
                    help="tokens of common prompt prefix across all requests")
     p.add_argument("--enable-prefix-caching",
                    type=lambda s: s.lower() in ("1", "true"), default=False)
+    p.add_argument("--multi-step", type=int, default=1,
+                   help="scan S decode steps per dispatch (pure-decode "
+                        "batches; amortizes per-dispatch host/link cost — "
+                        "essential on a high-RTT tunneled chip)")
     p.add_argument("--warmup", type=lambda s: s.lower() in ("1", "true"),
                    default=True)
     args = p.parse_args()

@@ -922,13 +922,14 @@ def _tiles_kernel(
         # measured as pure VPU overhead) and the rider lane block (constant).
         qhs = [qh_rows(h) for h in range(n_kv)]
         # Compute sub-chunk length (DMA stays chunk-granular; see make_body):
-        # 512 keys per compute step bounds the f32 temps at [NG, 512].
-        # SWIFTLLM_TILE_SUBSPLIT=1 forces the split at ANY chunk size so the
-        # interpret-mode parity tests can exercise it on tiny shapes.
-        if chunk > 512 and chunk % 512 == 0:
-            NSUB = chunk // 512
-        elif chunk % 2 == 0 and os.environ.get("SWIFTLLM_TILE_SUBSPLIT") == "1":
-            NSUB = 2
+        # SUBSPLIT mode bounds the f32 temps at [NG, 512] per fori step, but
+        # measured 20% SLOWER on v5e prefill (carry copies + lost MXU/VPU
+        # interleaving), so the default keeps full-chunk compute and bounds
+        # VMEM via the span instead. SWIFTLLM_TILE_SUBSPLIT=1 forces the
+        # split (also used by interpret-mode parity tests on tiny shapes).
+        force = os.environ.get("SWIFTLLM_TILE_SUBSPLIT")
+        if force == "1" and chunk % 2 == 0:
+            NSUB = chunk // 512 if (chunk > 512 and chunk % 512 == 0) else 2
         else:
             NSUB = 1
         SUBLEN = chunk // NSUB
@@ -1372,6 +1373,9 @@ def ragged_paged_attention(q, cache3, layer, batch, *, n_kv: int,
     tile_tokens = max(page_size, tile_budget // (W * itemsize))
     chunk_pages = max(1, min(Pg, tile_tokens // page_size))
     chunk_pages = min(chunk_pages, 32)
+    # Cap chunk TOKENS too: big pages would otherwise grow the chunk (and
+    # with it the f32 [NG, chunk] score temps) past the VMEM plan budget.
+    chunk_pages = min(chunk_pages, max(1, 1024 // page_size))
     if max_chunk_pages is not None:
         chunk_pages = min(chunk_pages, max_chunk_pages)
     max_chunks = cdiv(Pg, chunk_pages)
@@ -1426,9 +1430,18 @@ def ragged_paged_attention(q, cache3, layer, batch, *, n_kv: int,
     span = tile_q
     FQ = n_q * hd                       # flat q/o lane width (128-aligned)
     per_row = FQ * 2 * jnp.dtype(q.dtype).itemsize + FQ * 4
+    # Span cap: the kernel's scoped-VMEM peak is dominated by f32 [NG, chunk]
+    # score/prob temps (NG = group*span), so the span is the VMEM lever that
+    # does NOT serialize compute (fori sub-chunking measured 20% slower).
+    # Default mult 2 (span 256 at 1B dims): measured FASTER than span 512 on
+    # v5e (0.616 vs 0.548 MFU at b8/c2048 — smaller temps schedule better)
+    # AND it keeps tile + decode inside the 128 MiB VMEM plan for mixed
+    # programs. Env-sweepable via SWIFTLLM_TILE_SPAN_MULT.
+    max_mult = int(os.environ.get("SWIFTLLM_TILE_SPAN_MULT", "2"))
     for mult in (4, 2):
         cand = tile_q * mult
-        if cand <= q_bucket and cand * per_row <= 10 * 1024 * 1024:
+        if (mult <= max_mult and cand <= q_bucket
+                and cand * per_row <= 10 * 1024 * 1024):
             span = cand
             break
     # Fused span-KV write (kv_new given): the kernel writes each tile's fresh
@@ -1503,16 +1516,17 @@ def ragged_paged_attention(q, cache3, layer, batch, *, n_kv: int,
     else:
         aliases = {}
         out_shape = jax.ShapeDtypeStruct((T_pad, FQ), q.dtype)
+    # VMEM hint from the actual geometry: the kernel's scoped stack is
+    # dominated by ~6 concurrently-live f32 [NG, chunk] score/prob temps
+    # (measured ~99 MiB at span 512 / chunk 1024) plus the staging scratch.
+    NG_ = (n_q // n_kv) * span
+    tile_vmem = min(100 * 1024 * 1024,
+                    24 * 1024 * 1024 + 6 * NG_ * chunk_pages * page_size * 4)
     out2 = pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
-            # The tile kernel's big VMEM tenants are the f32 score/prob temps
-            # ([NG, SUBLEN] arrays — the sub-chunk split in make_body exists
-            # to bound them); 64 MiB leaves room for the decode kernel's
-            # 32 MiB in mixed programs (XLA plans with these hints and
-            # rejects programs whose hints sum past the 128 MiB budget).
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=tile_vmem),
         input_output_aliases=aliases,
         interpret=interpret,
     )(*scalars, *inputs)

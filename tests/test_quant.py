@@ -74,6 +74,14 @@ def test_quantized_model_logits_close(quant, min_cos):
 
 @pytest.fixture(scope="module")
 def real_tiny_ckpt(tmp_path_factory):
+    # SWIFTLLM_PPL_MODEL=<hf-llama-dir> runs the gate on a REAL checkpoint
+    # (BASELINE.md's absolute <=0.1-ppl north star; this environment has no
+    # checkpoints or egress, so CI uses a local random-init tiny model with
+    # relative thresholds instead).
+    import os
+    ext = os.environ.get("SWIFTLLM_PPL_MODEL")
+    if ext:
+        return ext
     import torch
     from transformers import LlamaConfig, LlamaForCausalLM
     path = tmp_path_factory.mktemp("ppl_llama")
@@ -121,8 +129,13 @@ def test_quant_perplexity_gate(real_tiny_ckpt, quant, max_rel):
     same bit-width. The random-init checkpoint sits at ppl ≈ vocab (≈128),
     so the gate is expressed relative to base ppl — 0.1 on a real ~7-ppl
     model ≈ 1.4% relative; we gate int4 at 1% and int8 at 0.1%."""
+    import os
     rng = np.random.default_rng(0)
     tokens = rng.integers(0, 128, 48).tolist()
     base = _perplexity(real_tiny_ckpt, "none", tokens)
     q = _perplexity(real_tiny_ckpt, quant, tokens)
-    assert abs(q - base) / base < max_rel, f"{quant}: ppl {base} -> {q}"
+    if os.environ.get("SWIFTLLM_PPL_MODEL"):
+        # Real checkpoint: the ABSOLUTE north-star gate.
+        assert abs(q - base) <= 0.1, f"{quant}: ppl {base} -> {q}"
+    else:
+        assert abs(q - base) / base < max_rel, f"{quant}: ppl {base} -> {q}"
