@@ -286,7 +286,7 @@ def run_suite(isolate: bool = False):
             run_one(args)
         except Exception as e:
             print(json.dumps({"metric": tag, "value": 0, "unit": "FAILED",
-                              "vs_baseline": 0.0, "error": repr(e)[:400]}),
+                              "vs_baseline": 0.0, "error": repr(e)[:2000]}),
                   flush=True)
         gc.collect()
     watchdog.cancel()
@@ -693,7 +693,12 @@ def main():
         return
     if args.model is None:
         run_suite(isolate=args.isolate)   # bare `python bench.py` records the suite
-        return
+        # Hard-exit after a complete suite: tearing down the JAX client over
+        # a degraded tunnel can abort() in C++ AFTER every metric printed,
+        # which would turn a fully-recorded run into a nonzero exit code.
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(0)
     run_one(args)
 
 

@@ -1516,12 +1516,19 @@ def ragged_paged_attention(q, cache3, layer, batch, *, n_kv: int,
     else:
         aliases = {}
         out_shape = jax.ShapeDtypeStruct((T_pad, FQ), q.dtype)
-    # VMEM hint from the actual geometry: the kernel's scoped stack is
-    # dominated by ~6 concurrently-live f32 [NG, chunk] score/prob temps
-    # (measured ~99 MiB at span 512 / chunk 1024) plus the staging scratch.
+    # VMEM hint from the actual geometry: ~6 concurrently-live f32
+    # [NG, chunk] score/prob temps (measured ~99 MiB at span 512/chunk 1024,
+    # 32 MiB at 8B-dims span 256/chunk 256) + the double-buffered KV slab,
+    # q/o staging, softmax carry state, and a fixed compiler margin.
     NG_ = (n_q // n_kv) * span
-    tile_vmem = min(100 * 1024 * 1024,
-                    24 * 1024 * 1024 + 6 * NG_ * chunk_pages * page_size * 4)
+    chunk_t = chunk_pages * page_size
+    tile_vmem = min(
+        100 * 1024 * 1024,
+        16 * 1024 * 1024                                  # compiler margin
+        + 6 * NG_ * chunk_t * 4                           # score/prob temps
+        + 2 * chunk_t * W * itemsize                      # kv_buf slots
+        + 2 * span * FQ * jnp.dtype(q.dtype).itemsize * 2   # q/o staging
+        + 2 * n_kv * NG_ * (hd + 8) * 4)                  # m/l/acc carries
     out2 = pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=out_shape,
