@@ -228,7 +228,7 @@ def _make_chunk_io(cache_hbm, layer, pt_read, kv_buf, kv_sems, *,
 def _decode_kernel_grouped(
     *refs,
     page_size, chunk_pages, sm_scale, n_q, n_kv, hd, n_rows, R, br, W,
-    staged=False, window=0,
+    wgran, staged=False, window=0,
 ):
     """R-row batched decode attention with the KV-cache update fused in.
 
@@ -455,15 +455,23 @@ def _decode_kernel_grouped(
                 wait_row(b, r, c, slot)
 
     def start_rmw_reads(gb, par):
-        """Start group gb's read-modify-write page reads into parity ``par``."""
+        """Start group gb's read-modify-write reads into parity ``par``.
+
+        Granularity is the dtype's SUBLANE TILE (``wgran`` rows: 16 bf16 /
+        8 f32 / 32 fp8-int8) — the smallest DMA-legal row block — NOT the
+        page: a page-granularity RMW moved 2 x page_size x W bytes to write
+        ONE token's W bytes (128x amplification at 64-token pages; ~8 MiB
+        and ~10 us per layer at b64, measured r4). Tiles never straddle a
+        page (page_size is a multiple of the tile), so page ownership is
+        preserved."""
         for r in range(R):
             b = gb * R + r
 
             @pl.when(q_lens_ref[b] > 0)
             def _(b=b, r=r):
-                w_page = kv_slots_ref[b] // page_size
+                w_base = (kv_slots_ref[b] // wgran) * wgran
                 pltpu.make_async_copy(
-                    cache_in.at[layer, pl.ds(w_page * page_size, page_size)],
+                    cache_in.at[layer, pl.ds(w_base, wgran)],
                     w_buf.at[par, r], w_rsems.at[par, r]).start()
 
     @pl.when(g == 0)
@@ -513,7 +521,7 @@ def _decode_kernel_grouped(
             def _(r=r):
                 pltpu.make_async_copy(
                     w_buf.at[par_n, r],
-                    cache_out.at[layer, pl.ds(0, page_size)],
+                    cache_out.at[layer, pl.ds(0, wgran)],
                     w_wsems.at[par_n, r]).wait()   # shape-equivalent
                 wpend_ref[par_n, r] = 0
 
@@ -693,19 +701,19 @@ def _decode_kernel_grouped(
             @pl.when(valids[r] & (seq_lens_ref[b] > 0))
             def _(r=r, b=b):
                 pltpu.make_async_copy(
-                    cache_in.at[layer, pl.ds(0, page_size)],   # shape-only
+                    cache_in.at[layer, pl.ds(0, wgran)],       # shape-only
                     w_buf.at[par, r], w_rsems.at[par, r]).wait()
-                w_off = kv_slots_ref[b] % page_size
-                w_page = kv_slots_ref[b] // page_size
+                w_off = kv_slots_ref[b] % wgran
+                w_base = (kv_slots_ref[b] // wgran) * wgran
                 kv_new_r = knew_cat[:, r * W:(r + 1) * W]      # [1, W] f32
                 sub_iota = jax.lax.broadcasted_iota(
-                    jnp.int32, (page_size, 1), 0)
+                    jnp.int32, (wgran, 1), 0)
                 w_buf[par, r] = jnp.where(sub_iota == w_off,
                                           kv_new_r.astype(w_buf.dtype),
                                           w_buf[par, r])
                 pltpu.make_async_copy(
                     w_buf.at[par, r],
-                    cache_out.at[layer, pl.ds(w_page * page_size, page_size)],
+                    cache_out.at[layer, pl.ds(w_base, wgran)],
                     w_wsems.at[par, r]).start()
                 wpend_ref[par, r] = 1
 
@@ -717,7 +725,7 @@ def _decode_kernel_grouped(
                     def _(p_=p_, r=r):
                         pltpu.make_async_copy(
                             w_buf.at[p_, r],
-                            cache_out.at[layer, pl.ds(0, page_size)],
+                            cache_out.at[layer, pl.ds(0, wgran)],
                             w_wsems.at[p_, r]).wait()
                         wpend_ref[p_, r] = 0
 
@@ -1219,6 +1227,11 @@ def ragged_paged_attention(q, cache3, layer, batch, *, n_kv: int,
         sel = jnp.where((need > 0) & (batch.q_lens[:B] > 0) & contig & fits
                         & (pow2 > 0) & (pow2 <= chunk_pages),
                         pow2, 0).astype(jnp.int32)
+        # RMW write-back granule: the dtype's sublane tile (the smallest
+        # safely-DMA-legal row block), capped at the page so a granule never
+        # spans two rows' pages (tiny test pages; production fp8 validates
+        # block_size % 32 == 0).
+        wgran = min({4: 8, 2: 16, 1: 32}[itemsize], page_size)
         # Rows per grid step (grouped kernel), capped by the batch itself:
         # padding a 1-row batch up to R=4 quadruples every lane block, DMA
         # buffer and block-diag matmul for nothing (b1 long-context decode
@@ -1310,7 +1323,7 @@ def ragged_paged_attention(q, cache3, layer, batch, *, n_kv: int,
             pltpu.VMEM((2, chunk_pages * page_size, R * W),
                        cache3.dtype),
             pltpu.SemaphoreType.DMA((2, R, chunk_pages)),
-            pltpu.VMEM((2, R, page_size, W), cache3.dtype),  # w_buf
+            pltpu.VMEM((2, R, wgran, W), cache3.dtype),      # w_buf (RMW tile)
             pltpu.SemaphoreType.DMA((2, R)),   # page reads
             pltpu.SemaphoreType.DMA((2, R)),   # page writes (deferred)
             pltpu.SMEM((1,), jnp.int32),       # chunk-slot parity
@@ -1342,8 +1355,8 @@ def ragged_paged_attention(q, cache3, layer, batch, *, n_kv: int,
         kernel = functools.partial(
             _decode_kernel_grouped, page_size=page_size,
             chunk_pages=chunk_pages, sm_scale=sm_scale, n_q=n_q,
-            n_kv=n_kv, hd=hd, n_rows=Bp, R=R, br=br, W=W, staged=staged,
-            window=window)
+            n_kv=n_kv, hd=hd, n_rows=Bp, R=R, br=br, W=W, wgran=wgran,
+            staged=staged, window=window)
         # Realistic VMEM hint: kv_buf is guarded to <= 8 MiB, w_buf/scores are
         # small. A blanket 100 MiB hint made XLA's VMEM planner reject MIXED
         # programs (decode + tile kernels in one step: 100 + 100 > the chip's
