@@ -321,7 +321,8 @@ def _ragged_paged_attention_jnp(
 
 def _attention_and_store(q, kv_new, cache3, layer, batch, *, n_kv,
                          page_size, sm_scale, use_pallas, q_bucket,
-                         window=0, fused_tile=False):
+                         window=0, fused_tile=False,
+                         kv_pend=None, npend=None):
     """Store this layer's fresh K‖V (kv_new [T, W], W = per-shard cache lane
     width, already cast to the cache dtype — including the per-token fp8
     scale lanes when kv_quant is on) into the 3-D cache [L, S, W] and run
@@ -340,6 +341,20 @@ def _attention_and_store(q, kv_new, cache3, layer, batch, *, n_kv,
         from swiftllm_tpu.ops.paged_attention import kernel_supports
         use_pallas = kernel_supports(n_q, n_kv, hd,
                                      cache3.shape[2] - 2 * n_kv * hd)
+    if kv_pend is not None:
+        # Deferred-commit decode (multi-step windows): the kernel reads the
+        # window's fresh tokens from kv_pend and does NOT touch the cache;
+        # decode_multi_step commits the whole window once after the scan.
+        # The gate in decode_multi_step guarantees the Pallas path applies
+        # (the jnp fallback has no pending-token semantics).
+        assert use_pallas and q_bucket == 1, \
+            "deferred KV commit requires the Pallas decode path"
+        from swiftllm_tpu.ops.paged_attention import ragged_paged_attention
+        attn = ragged_paged_attention(
+            q, cache3, layer, batch, n_kv=n_kv,
+            page_size=page_size, sm_scale=sm_scale, q_bucket=1,
+            kv_new=kv_new, kv_pend=kv_pend, npend=npend, window=window)
+        return attn, cache3
     if use_pallas:
         from swiftllm_tpu.ops.paged_attention import ragged_paged_attention
         if q_bucket == 1:
@@ -412,6 +427,8 @@ def forward_shard(
     fp8_scaled: bool = False,
     return_logprobs: bool = False,
     sample_span: int = 0,
+    kv_pend=None,            # [L, P, B, W] deferred-commit pending buffer
+    npend=None,              # traced scalar: live pending tokens (inner s+1)
 ):
     """Per-shard SPMD body. Runs inside shard_map; collectives over "tp".
 
@@ -486,6 +503,8 @@ def forward_shard(
                     int4_full[name] = wmat
     layers_scanned = {k_: v_ for k_, v_ in layers_all.items()
                       if k_ not in int4_full}
+
+    deferred = kv_pend is not None
 
     def layer_step(carry, scanned):
         x, cache = carry
@@ -562,11 +581,19 @@ def forward_shard(
         else:
             kv_new = jnp.concatenate([kf, vf], axis=1)
         kv_new = kv_new.astype(cache.dtype)
+        # Deferred commit: the kernel reads the window's COMPLETED pending
+        # tokens straight from kv_pend (closed over, read-only, layer-indexed
+        # by BlockSpec inside the kernel) and this step's fresh token from
+        # kv_new as usual — but writes nothing; the layer's fresh rows leave
+        # as scan outputs and decode_multi_step merges them into the pending
+        # buffer ONCE per inner step (a per-layer carry update here measured
+        # ~1.6 ms/step of copy traffic at 1B b64 on v5e — worse than the RMW
+        # cost it replaced).
         attn, cache = _attention_and_store(
             q, kv_new, cache, l, batch, n_kv=n_kv_l,
             page_size=page_size, sm_scale=sm_scale, use_pallas=use_pallas,
             q_bucket=q_bucket, window=cfg.sliding_window or 0,
-            fused_tile=fused_tile)
+            fused_tile=fused_tile, kv_pend=kv_pend, npend=npend)
         attn = attn.reshape(T, n_q_l * hd)
         x = x + psum_tp(lora_add(mproj(attn, "wo"), attn, "wo"))
 
@@ -576,9 +603,11 @@ def forward_shard(
         gu = gate * lora_add(mproj(h, "w_up"), h, "w_up")
         ffn = lora_add(mproj(gu, "w_down"), gu, "w_down")
         x = x + psum_tp(ffn)
+        if deferred:
+            return (x, cache), kv_new[:batch.q_lens.shape[0]]
         return (x, cache), None
 
-    (x, kv_cache), _ = jax.lax.scan(
+    (x, kv_cache), kv_rows = jax.lax.scan(
         layer_step, (x, cache2),
         (jnp.arange(L, dtype=jnp.int32), layers_scanned))
 
@@ -681,6 +710,8 @@ def forward_shard(
         full = (jax.lax.all_gather(logits, AXIS_TP, axis=1, tiled=True)
                 if tp_size > 1 else logits)
         out += (full,)
+    if kv_pend is not None:
+        out += (kv_rows,)      # [L, B, W]: this step's fresh rows per layer
     return out
 
 
@@ -724,6 +755,34 @@ def advance_decode_batch(batch: StepBatch, s: jax.Array, *, page_size: int,
     )
 
 
+def _defer_commit_ok(cfg, *, use_pallas: bool, fp8_scaled: bool,
+                     multi_step: int) -> bool:
+    """Whether multi-step decode can run in deferred-commit mode: the Pallas
+    decode kernel must apply to EVERY shard (the jnp fallback has no
+    pending-token semantics), the cache must hold unscaled rows (no fp8),
+    and a sliding window must not be narrower than the pending window."""
+    import os
+    from swiftllm_tpu.ops.paged_attention import kernel_supports
+    from swiftllm_tpu.worker.weights import effective_num_kv_heads
+    if not use_pallas or fp8_scaled:
+        return False
+    if os.environ.get("SWIFTLLM_DEFER_KV", "0") != "1":
+        # Default OFF — measured on v5e (r5, b64/c128/ms8): the fused
+        # per-step RMW write-back it removes was ALREADY hidden behind the
+        # next group's compute (throughput with write-back disabled entirely:
+        # +1%), while the window-commit scatter cost 17% (XLA copies the
+        # donated cache around a scatter adjacent to the aliased kernel) and
+        # ~300 s of extra XLA:TPU compile. Kept behind the env flag as a
+        # measured negative result; see docs/RESULTS_r5.md.
+        return False
+    if cfg.sliding_window and cfg.sliding_window < multi_step:
+        return False
+    tp = jax.lax.axis_size(AXIS_TP)          # static under shard_map trace
+    n_q_l = cfg.num_q_heads // tp
+    n_kv_l = effective_num_kv_heads(cfg, tp) // tp
+    return kernel_supports(n_q_l, n_kv_l, cfg.head_dim, 0)
+
+
 def decode_multi_step(params, kv_cache, feedback, batch: StepBatch, *,
                       multi_step: int, page_size: int,
                       return_logprobs: bool = False, **fwd_kwargs):
@@ -735,20 +794,81 @@ def decode_multi_step(params, kv_cache, feedback, batch: StepBatch, *,
     tokens instead of per token. Tokens come out [B_local * S] row-major
     (row b's inner step s at ``b*S + s``), the same layout as spec-verify
     spans, so the host resolve path is shared.
+
+    Deferred KV commit (when the Pallas decode path applies): inner steps do
+    NOT write the cache. Each layer's fresh K‖V rows accumulate in a pending
+    buffer [L, S, B, W] carried through the scan; the kernel folds the live
+    pending tokens from VMEM, and the whole window commits with ONE scatter
+    after the scan. This removes the kernel's per-grid-step read-modify-write
+    page write-back — measured ~3.7 µs x B/R grid steps per LAYER on v5e,
+    the dominant fixed cost of short-context decode (docs/RESULTS_r4.md) —
+    and replaces L*S tiny RMW rounds with one bulk scatter per window.
     """
+    cfg = fwd_kwargs["cfg"]
+    deferred = _defer_commit_ok(
+        cfg, use_pallas=fwd_kwargs.get("use_pallas", False),
+        fp8_scaled=fwd_kwargs.get("fp8_scaled", False),
+        multi_step=multi_step)
+    L, S_slots, W = kv_cache.shape
+    B = batch.q_lens.shape[0]
+    P = multi_step
+    if deferred:
+        from swiftllm_tpu.ops.paged_attention import decode_group_geometry
+        R, Bp, GB = decode_group_geometry(B)
+        RW = R * W
+        # Pending buffer in the KERNEL's group-major lane layout (slot j of
+        # group g at lanes j*RW): zero relayout on the hot path — the kernel
+        # block-reads it per layer, and this scan updates ONE [L, GB, 1, RW]
+        # slice per inner step.
+        pend0 = jnp.zeros((L, GB, P, RW), kv_cache.dtype)
+
     def body(carry, s):
-        cache, fb = carry
+        if deferred:
+            cache, fb, pendbuf = carry
+        else:
+            cache, fb = carry
         bs = advance_decode_batch(batch, s, page_size=page_size,
                                   garbage_slot=cache.shape[1] - page_size)
         out = forward_shard(params, cache, fb, bs, page_size=page_size,
-                            return_logprobs=return_logprobs, **fwd_kwargs)
+                            return_logprobs=return_logprobs,
+                            kv_pend=(pendbuf.reshape(L, GB, P * RW)
+                                     if deferred else None),
+                            npend=(s + 1) if deferred else None,
+                            **fwd_kwargs)
         tokens, cache, fb = out[0], out[1], out[2]
         ys = (tokens,) + ((out[3],) if return_logprobs else ())
+        if deferred:
+            rows = out[-1]                                   # [L, B, W]
+            if Bp != B:
+                rows = jnp.pad(rows, ((0, 0), (0, Bp - B), (0, 0)))
+            pendbuf = jax.lax.dynamic_update_slice(
+                pendbuf, rows.reshape(L, GB, 1, RW), (0, 0, s, 0))
+            return (cache, fb, pendbuf), ys
         return (cache, fb), ys
 
-    (kv_cache, feedback), ys = jax.lax.scan(
-        body, (kv_cache, feedback),
-        jnp.arange(multi_step, dtype=jnp.int32))
+    if deferred:
+        (kv_cache, feedback, pend), ys = jax.lax.scan(
+            body, (kv_cache, feedback, pend0),
+            jnp.arange(multi_step, dtype=jnp.int32))
+        # --- commit the window: one scatter of L*B*P rows ------------------
+        live = batch.q_lens > 0                                        # [B]
+        pos0 = batch.positions[:B]            # decode contract: token b=row b
+        sidx = jnp.arange(P, dtype=jnp.int32)
+        pos = pos0[:, None] + sidx[None, :]                         # [B, P]
+        Pg = batch.page_table.shape[1]
+        page = jnp.take_along_axis(
+            batch.page_table, jnp.clip(pos // page_size, 0, Pg - 1), axis=1)
+        slots = jnp.where(live[:, None],
+                          page * page_size + pos % page_size,
+                          S_slots - page_size)                      # garbage
+        # [L, GB, P, R, W] -> row (g*R+r)*P + j == slots' b*P + j order.
+        vals = (pend.reshape(L, GB, P, R, W).transpose(0, 1, 3, 2, 4)
+                .reshape(L, Bp * P, W)[:, :B * P])
+        kv_cache = kv_cache.at[:, slots.reshape(-1)].set(vals)
+    else:
+        (kv_cache, feedback), ys = jax.lax.scan(
+            body, (kv_cache, feedback),
+            jnp.arange(multi_step, dtype=jnp.int32))
     tokens = jnp.swapaxes(ys[0], 0, 1).reshape(-1)        # [B*S] row-major
     out = (tokens, kv_cache, feedback)
     if return_logprobs:

@@ -84,6 +84,15 @@ def _decode_r() -> int:
     return int(os.environ.get("SWIFTLLM_DECODE_R", "4"))
 
 
+def decode_group_geometry(B: int) -> tuple[int, int, int]:
+    """(R, Bp, GB) the decode dispatch will use for a B-row bucket — callers
+    building the deferred-commit pending buffer ([L, GB, P*R*W], group-major)
+    must match the kernel's grouping exactly."""
+    R = min(_decode_r(), B)
+    Bp = B if B % R == 0 else R
+    return R, Bp, Bp // R
+
+
 def _decode_split() -> bool:
     """Contract K and V in separate half-width block-diagonal matmuls (vs one
     combined-width matmul whose V half multiplies q_blk zeros). Halves MXU
@@ -228,7 +237,7 @@ def _make_chunk_io(cache_hbm, layer, pt_read, kv_buf, kv_sems, *,
 def _decode_kernel_grouped(
     *refs,
     page_size, chunk_pages, sm_scale, n_q, n_kv, hd, n_rows, R, br, W,
-    wgran, staged=False, window=0,
+    wgran, staged=False, window=0, pend=0,
 ):
     """R-row batched decode attention with the KV-cache update fused in.
 
@@ -272,7 +281,26 @@ def _decode_kernel_grouped(
       scratch:  kv_buf, kv_sems, w_buf, w_rsems, w_wsems, ctr, wpend,
                 [pt_smem [2, R, Pg] SMEM, pt_sems [2, R]]
     """
-    if staged:
+    if pend:
+        # Deferred-commit variant (multi-step decode): NO cache write-back —
+        # the window's fresh tokens live in a pending side buffer (kv_new_ref
+        # carries the group's P pending K‖V rows, npend_ref says how many are
+        # live this inner step) and are committed once per window by the
+        # caller. All RMW machinery (w_buf/w_rsems/w_wsems/wpend, the
+        # per-group parity waits, the cache alias) drops out of the grid step
+        # — its issue cost was ~3.7 µs x B/R grid steps per layer, the
+        # dominant fixed cost of short-context decode (docs/RESULTS_r4.md).
+        if staged:
+            (layer_ref, q_lens_ref, seq_lens_ref, npend_ref, sel_ref,
+             q_ref, kv_new_ref, kv_pend_ref, cache_in, pt_hbm, o_ref,
+             kv_buf, kv_sems, ctr_ref, pt_smem, pt_sems) = refs
+        else:
+            (layer_ref, q_lens_ref, seq_lens_ref, page_table_ref, npend_ref,
+             sel_ref, q_ref, kv_new_ref, kv_pend_ref, cache_in, o_ref,
+             kv_buf, kv_sems, ctr_ref) = refs
+        cache_out = kv_slots_ref = None
+        w_buf = w_rsems = w_wsems = wpend_ref = None
+    elif staged:
         (layer_ref, q_lens_ref, seq_lens_ref, kv_slots_ref, sel_ref,
          q_ref, kv_new_ref, cache_in, pt_hbm, o_ref, cache_out,
          kv_buf, kv_sems, w_buf, w_rsems, w_wsems, ctr_ref, wpend_ref,
@@ -286,6 +314,15 @@ def _decode_kernel_grouped(
     chunk = chunk_pages * page_size
     group = n_q // n_kv
     KH = n_kv * hd
+
+    if pend:
+        # Cached history excludes the window's pending tokens (npend of them,
+        # same for every row — the multi-step scan's inner step index + 1).
+        def hist_of(b):
+            return jnp.maximum(seq_lens_ref[b] - npend_ref[0], 0)
+    else:
+        def hist_of(b):
+            return jnp.maximum(seq_lens_ref[b] - 1, 0)
     SL = W - 2 * KH          # fp8 per-token scale lanes (0 or 128)
     sizes = [z for z in _FAST_SIZES if z <= chunk_pages]
     n_groups = n_rows // R
@@ -347,7 +384,7 @@ def _decode_kernel_grouped(
         only the ragged tail chunk falls back to per-page copies; 0 =
         non-contiguous, per-page copies throughout."""
         sel = sel_ref[b]
-        need = pl.cdiv(jnp.maximum(seq_lens_ref[b] - 1, 0), page_size)
+        need = pl.cdiv(hist_of(b), page_size)
         base = c * chunk_pages
         for z in sizes:
             @pl.when((c == 0) & (sel == z))
@@ -387,7 +424,7 @@ def _decode_kernel_grouped(
 
     def wait_row(b, r, c, slot):
         sel = sel_ref[b]
-        need = pl.cdiv(jnp.maximum(seq_lens_ref[b] - 1, 0), page_size)
+        need = pl.cdiv(hist_of(b), page_size)
         base = c * chunk_pages
         for z in sizes:
             @pl.when((c == 0) & (sel == z))
@@ -432,7 +469,7 @@ def _decode_kernel_grouped(
         for r in range(R):
             b = gb * R + r
             v = q_lens_ref[b] > 0
-            h = jnp.maximum(seq_lens_ref[b] - 1, 0)
+            h = hist_of(b)
             cl = jnp.where(v, jnp.maximum(h - (window - 1), 0) // chunk,
                            jnp.int32(1 << 30))
             ncr = jnp.where(v, pl.cdiv(h, chunk), 0)
@@ -463,7 +500,9 @@ def _decode_kernel_grouped(
         ONE token's W bytes (128x amplification at 64-token pages; ~8 MiB
         and ~10 us per layer at b64, measured r4). Tiles never straddle a
         page (page_size is a multiple of the tile), so page ownership is
-        preserved."""
+        preserved. Deferred-commit (pend) mode has no write-back at all."""
+        if pend:
+            return
         for r in range(R):
             b = gb * R + r
 
@@ -477,9 +516,10 @@ def _decode_kernel_grouped(
     @pl.when(g == 0)
     def _():
         ctr_ref[0] = 0
-        for p_ in range(2):
-            for r in range(R):
-                wpend_ref[p_, r] = 0
+        if not pend:
+            for p_ in range(2):
+                for r in range(R):
+                    wpend_ref[p_, r] = 0
         # Zero-fill the KV buffers ONCE: never-DMA'd regions then hold zeros
         # (first use) or a previous row's finite KV (later uses) — never NaN
         # bit patterns that would poison the p@v matmul through 0*NaN. This
@@ -503,7 +543,7 @@ def _decode_kernel_grouped(
         par = jax.lax.rem(g, 2)
         par_n = 1 - par
         valids = [q_lens_ref[g * R + r] > 0 for r in range(R)]
-        hists = [jnp.maximum(seq_lens_ref[g * R + r] - 1, 0) for r in range(R)]
+        hists = [hist_of(g * R + r) for r in range(R)]
         nc = pl.cdiv(hists[0], chunk)
         for r in range(1, R):
             nc = jnp.maximum(nc, jnp.where(valids[r],
@@ -516,14 +556,15 @@ def _decode_kernel_grouped(
         # previous group's compute. Start the NEXT group's reads now (parity
         # par_n) — after waiting out group g-1's write-backs, which used the
         # same parity and read from the same buffers.
-        for r in range(R):
-            @pl.when(wpend_ref[par_n, r] == 1)
-            def _(r=r):
-                pltpu.make_async_copy(
-                    w_buf.at[par_n, r],
-                    cache_out.at[layer, pl.ds(0, wgran)],
-                    w_wsems.at[par_n, r]).wait()   # shape-equivalent
-                wpend_ref[par_n, r] = 0
+        if not pend:
+            for r in range(R):
+                @pl.when(wpend_ref[par_n, r] == 1)
+                def _(r=r):
+                    pltpu.make_async_copy(
+                        w_buf.at[par_n, r],
+                        cache_out.at[layer, pl.ds(0, wgran)],
+                        w_wsems.at[par_n, r]).wait()   # shape-equivalent
+                    wpend_ref[par_n, r] = 0
 
         @pl.when(next_valid)
         def _():
@@ -651,9 +692,66 @@ def _decode_kernel_grouped(
 
         m, l, acc = jax.lax.fori_loop(c_lo, nc, body, (m0, l0, a0))
 
-        # --- fold in the new tokens (key position seq_len-1) from VMEM -------
+        # --- fold in the new tokens from VMEM --------------------------------
         # kv_new block row (g % br) is this group's R rows' K‖V side by side —
-        # exactly the [1, RW] lane layout q_blk expects.
+        # exactly the [1, RW] lane layout q_blk expects. In deferred-commit
+        # (pend) mode the block row is [1, P*RW] — P pending tokens' rows
+        # side by side, of which the first npend are live this inner step.
+        if pend:
+            # Window fold: the npend-1 COMPLETED pending tokens come from the
+            # kv_pend block (read-only, layer-indexed by BlockSpec); the
+            # current token comes from kv_new as usual — appended as the last
+            # row, always valid.
+            P = pend
+            pend_rows = kv_pend_ref[...][0]                  # [br, P*RW]
+            new_rows = kv_new_ref[...]                       # [br, RW]
+            bi = jax.lax.broadcasted_iota(jnp.int32, (br, 1), 0)
+            sel_p = jnp.sum(jnp.where(bi == g % br, pend_rows,
+                                      jnp.zeros_like(pend_rows)),
+                            axis=0, keepdims=True)           # [1, P*RW]
+            sel_n = jnp.sum(jnp.where(bi == g % br, new_rows,
+                                      jnp.zeros_like(new_rows)),
+                            axis=0, keepdims=True)           # [1, RW]
+            knew = jnp.concatenate(
+                [sel_p[:, j * RW:(j + 1) * RW] for j in range(P)] + [sel_n],
+                axis=0)                                      # [P+1, RW]
+            knew_k = (jnp.concatenate(
+                [knew[:, r * W:r * W + KH] for r in range(R)], axis=1)
+                if split else knew)                          # [P+1, R*KW]
+            s_new = jax.lax.dot_general(
+                q_blk, knew_k.astype(q_blk.dtype), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * sm_scale  # [RN, P+1]
+            col_p = jax.lax.broadcasted_iota(jnp.int32, (RN, P + 1), 1)
+            s_new = jnp.where((col_p == P) | (col_p < npend_ref[0] - 1),
+                              s_new, NEG_INF)
+            mi = jnp.maximum(m, jnp.max(s_new, axis=-1, keepdims=True))
+            scale = jnp.exp(m - mi)
+            p_new = jnp.exp(s_new - mi)      # masked cols underflow to 0
+            l = l * scale + jnp.sum(p_new, axis=-1, keepdims=True)
+            knew_v = jnp.concatenate(
+                [knew[:, r * W + KH:r * W + 2 * KH] for r in range(R)],
+                axis=1)                                      # [P, R*KH]
+            pv_new = jax.lax.dot_general(
+                p_new.astype(q_blk.dtype), knew_v.astype(q_blk.dtype),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # [RN, R*KH]
+            row_rp = jax.lax.broadcasted_iota(jnp.int32, (RN, KH), 0) // n_q
+            v_own = jnp.zeros((RN, KH), jnp.float32)
+            for r in range(R):
+                v_own = jnp.where(row_rp == r,
+                                  pv_new[:, r * KH:(r + 1) * KH], v_own)
+            acc = (acc * scale + v_own) / jnp.maximum(l, 1e-30)
+
+            out = jnp.zeros((RN, hd), jnp.float32)
+            h_of_row = (jax.lax.broadcasted_iota(jnp.int32, (RN, hd), 0)
+                        % n_q) // group
+            for h in range(n_kv):
+                out = jnp.where(h_of_row == h,
+                                acc[:, h * hd:(h + 1) * hd], out)
+            o_ref[...] = out.astype(o_ref.dtype)
+            ctr_ref[0] = jax.lax.rem(base + nc, 2)
+            return
+
         blk_rows = kv_new_ref[...].astype(jnp.float32)       # [br, RW]
         bi = jax.lax.broadcasted_iota(jnp.int32, (br, 1), 0)
         knew_cat = jnp.sum(jnp.where(bi == g % br, blk_rows, 0),
@@ -1155,7 +1253,7 @@ def _chunk_geometry(Pg, page_size, W, itemsize, max_chunk_pages):
 
 def ragged_paged_attention(q, cache3, layer, batch, *, n_kv: int,
                            page_size: int, sm_scale: float, q_bucket: int,
-                           kv_new=None,
+                           kv_new=None, kv_pend=None, npend=None,
                            interpret: bool | None = None,
                            max_chunk_pages: int | None = None,
                            staged_pt: bool | None = None,
@@ -1171,7 +1269,17 @@ def ragged_paged_attention(q, cache3, layer, batch, *, n_kv: int,
     (batch.kv_slots) with the cache aliased in/out, and returns
     (out, updated_cache). An XLA-level scatter next to this custom call forces
     whole-cache copies every layer; the fused write keeps the update in place.
-    Without kv_new, returns just `out` (caller has already scattered)."""
+    Without kv_new, returns just `out` (caller has already scattered).
+
+    kv_pend/npend (deferred-commit decode, multi-step windows): kv_pend is
+    [L, GB, P*R*W] (group-major; see decode_group_geometry) — the window's
+    COMPLETED pending tokens per layer, of which the first ``npend - 1``
+    (traced scalar) are live; kv_new still carries the CURRENT token. The
+    row's CACHED history is seq_lens - npend keys. The kernel does NOT touch
+    the cache (returns just `out`; the caller commits the whole window once,
+    after the multi-step scan) — removing the per-grid-step read-modify-write
+    page write-back that dominated short-context decode's fixed cost
+    (docs/RESULTS_r4.md)."""
     if interpret is None:
         interpret = _interpret_default()
     T, n_q, hd = q.shape
@@ -1208,12 +1316,21 @@ def ragged_paged_attention(q, cache3, layer, batch, *, n_kv: int,
         # packs decode rows first, which guarantees this; direct callers must
         # uphold it themselves (q_lens is traced, so it cannot be checked here).
         assert T >= B, f"decode path needs T({T}) >= B({B})"
-        assert kv_new is not None, "decode path fuses the KV-cache update"
+        deferred = kv_pend is not None
+        if deferred:
+            assert kv_new is not None and npend is not None, \
+                "deferred commit: kv_new carries the current token, kv_pend " \
+                "the window's completed tokens"
+            assert SL == 0, "deferred commit holds unscaled rows (no fp8)"
+            npend_arr = jnp.reshape(jnp.asarray(npend, jnp.int32), (1,))
+        else:
+            assert kv_new is not None, "decode path fuses the KV-cache update"
         kv_slots_l = batch.kv_slots[:B]
         # Contiguous fast path: rows whose `need` pages are consecutive pool
         # pages AND fit one chunk take ONE pow2-sized DMA instead of
         # per-page copies (sel = that pow2 count; 0 = per-page path).
-        hist = jnp.maximum(batch.seq_lens - 1, 0)
+        hist = (jnp.maximum(batch.seq_lens - npend_arr[0], 0) if deferred
+                else jnp.maximum(batch.seq_lens - 1, 0))
         need = (hist + page_size - 1) // page_size                     # [B]
         idx = jnp.arange(Pg - 1, dtype=jnp.int32)
         steps_ok = jnp.where(
@@ -1236,8 +1353,7 @@ def ragged_paged_attention(q, cache3, layer, batch, *, n_kv: int,
         # padding a 1-row batch up to R=4 quadruples every lane block, DMA
         # buffer and block-diag matmul for nothing (b1 long-context decode
         # measured 4x the MXU work of R=1). B is a pow2 bucket, so R | B.
-        R = min(_decode_r(), B)
-        Bp = B if B % R == 0 else R
+        R, Bp, _GB = decode_group_geometry(B)
         # Grouped kernel: bigger per-slot KV buffers (R lane blocks wide).
         # ~256-token chunks: the block-diag matmuls span the whole chunk
         # buffer (masked), so oversizing the chunk burns MXU FLOPs on
@@ -1314,66 +1430,92 @@ def ragged_paged_attention(q, cache3, layer, batch, *, n_kv: int,
                 f"pages/seq {Pg_p} exceeds the HBM-staged page-table cap "
                 f"{staged_pages_cap()} (≈{staged_pages_cap() * page_size} "
                 f"tokens at this page size)")
+        kv_val = kv_new_rows.reshape(GB, R * W)
         in_specs = [
             pl.BlockSpec((R * n_q, hd), lambda g, *refs: (g, 0)),  # q
             pl.BlockSpec((br, R * W), lambda g, *refs: (g // br, 0)),
-            pl.BlockSpec(memory_space=pltpu.HBM),  # cache (aliased)
         ]
+        if deferred:
+            # Pending buffer [L, GB, P*RW], ALREADY in the kernel's
+            # group-major lane layout (decode_group_geometry tells the caller
+            # R): the BlockSpec indexes the LAYER via the scalar-prefetched
+            # layer id, so no per-layer XLA slice/relayout ever materializes.
+            Lp, GBp, PRW = kv_pend.shape
+            assert GBp == GB and PRW % (R * W) == 0, \
+                f"kv_pend {kv_pend.shape} vs GB={GB}, RW={R * W}"
+            P = PRW // (R * W)
+            in_specs.append(pl.BlockSpec(
+                (1, br, PRW), lambda g, *refs: (refs[0][0], g // br, 0)))
+        in_specs.append(
+            pl.BlockSpec(memory_space=pltpu.HBM))  # cache (aliased/read-only)
         scratch = [
             pltpu.VMEM((2, chunk_pages * page_size, R * W),
                        cache3.dtype),
             pltpu.SemaphoreType.DMA((2, R, chunk_pages)),
-            pltpu.VMEM((2, R, wgran, W), cache3.dtype),      # w_buf (RMW tile)
-            pltpu.SemaphoreType.DMA((2, R)),   # page reads
-            pltpu.SemaphoreType.DMA((2, R)),   # page writes (deferred)
-            pltpu.SMEM((1,), jnp.int32),       # chunk-slot parity
-            pltpu.SMEM((2, R), jnp.int32),     # write pending flags
         ]
+        if not deferred:
+            scratch += [
+                pltpu.VMEM((2, R, wgran, W), cache3.dtype),  # w_buf (RMW tile)
+                pltpu.SemaphoreType.DMA((2, R)),   # page reads
+                pltpu.SemaphoreType.DMA((2, R)),   # page writes (deferred)
+            ]
+        scratch += [pltpu.SMEM((1,), jnp.int32)]   # chunk-slot parity
+        if not deferred:
+            scratch += [pltpu.SMEM((2, R), jnp.int32)]  # write pending flags
+        slot_scalar = npend_arr if deferred else kv_slots_l
+        kv_in = (q_rows, kv_val) + ((kv_pend,) if deferred else ())
         if staged:
-            scalars = (layer_arr, q_lens_l, seq_lens_l, kv_slots_l, sel)
+            scalars = (layer_arr, q_lens_l, seq_lens_l, slot_scalar, sel)
             in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))  # pt
             scratch += [pltpu.SMEM((2, R, Pg_p), jnp.int32),
                         pltpu.SemaphoreType.DMA((2, R))]
-            inputs = (q_rows, kv_new_rows.reshape(GB, R * W), cache3, pt_g)
-            # flat operands: 5 scalar-prefetch, q=5, kv_new=6, cache=7, pt=8.
-            aliases = {7: 1}
+            inputs = kv_in + (cache3, pt_g)
         else:
-            scalars = (layer_arr, q_lens_l, seq_lens_l, pt_g, kv_slots_l, sel)
-            inputs = (q_rows, kv_new_rows.reshape(GB, R * W), cache3)
-            # flat operands: 6 scalar-prefetch, q=6, kv_new=7, cache=8.
-            aliases = {8: 1}
+            scalars = (layer_arr, q_lens_l, seq_lens_l, pt_g, slot_scalar,
+                       sel)
+            inputs = kv_in + (cache3,)
+        n_sc = len(scalars)
+        out_specs = [pl.BlockSpec((R * n_q, hd), lambda g, *refs: (g, 0))]
+        out_shape = [jax.ShapeDtypeStruct((Bp * n_q, hd), q.dtype)]
+        if deferred:
+            aliases = {}
+        else:
+            out_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))  # cache out
+            out_shape.append(jax.ShapeDtypeStruct(cache3.shape, cache3.dtype))
+            # cache operand index: scalars + q + kv (+0) = n_sc + 2.
+            aliases = {n_sc + 2: 1}
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=len(scalars),
+            num_scalar_prefetch=n_sc,
             grid=(GB,),
             in_specs=in_specs,
-            out_specs=[
-                pl.BlockSpec((R * n_q, hd), lambda g, *refs: (g, 0)),  # o
-                pl.BlockSpec(memory_space=pltpu.HBM),  # cache out (alias)
-            ],
+            out_specs=out_specs,
             scratch_shapes=scratch,
         )
         kernel = functools.partial(
             _decode_kernel_grouped, page_size=page_size,
             chunk_pages=chunk_pages, sm_scale=sm_scale, n_q=n_q,
             n_kv=n_kv, hd=hd, n_rows=Bp, R=R, br=br, W=W, wgran=wgran,
-            staged=staged, window=window)
+            staged=staged, window=window, pend=P if deferred else 0)
         # Realistic VMEM hint: kv_buf is guarded to <= 8 MiB, w_buf/scores are
         # small. A blanket 100 MiB hint made XLA's VMEM planner reject MIXED
         # programs (decode + tile kernels in one step: 100 + 100 > the chip's
         # 128 MiB plan budget).
-        out, cache3 = pl.pallas_call(
+        res = pl.pallas_call(
             kernel, grid_spec=grid_spec,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=32 * 1024 * 1024),
-            out_shape=[jax.ShapeDtypeStruct((Bp * n_q, hd), q.dtype),
-                       jax.ShapeDtypeStruct(cache3.shape, cache3.dtype)],
+            out_shape=out_shape,
             input_output_aliases=aliases,
             interpret=interpret,
         )(*scalars, *inputs)
+        out = res[0]
+        if not deferred:
+            cache3 = res[1]
         out = out[:B * n_q].reshape(B, n_q * hd)
         if T > B:
             out = jnp.pad(out, ((0, T - B), (0, 0)))
-        return out.reshape(T, n_q, hd), cache3
+        out = out.reshape(T, n_q, hd)
+        return out if deferred else (out, cache3)
 
     # Tile path: each q-tile re-streams its row's KV history, so the
     # per-chunk fixed cost (DMA waits + loop bookkeeping) multiplies by

@@ -139,3 +139,40 @@ def test_multi_step_feedback_chains_across_dispatches():
     for r, t in held.values():
         r.output_token_ids[-1] = t
     assert mult == seq
+
+
+def _make_pallas_model(monkeypatch, defer: str):
+    """Kernel-compatible dims (n_q*hd = 128, W = 2*n_kv*hd = 128) so the
+    deferred-commit gate passes; interpret mode runs the Pallas kernels on
+    the CPU backend."""
+    monkeypatch.setenv("SWIFTLLM_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("SWIFTLLM_DEFER_KV", defer)
+    mc = LlamaModelConfig(num_layers=2, num_q_heads=2, num_kv_heads=1,
+                          hidden_size=128, head_dim=64, ffn_inter_dim=256,
+                          vocab_size=128, max_position_embeddings=2048,
+                          rms_norm_eps=1e-5)
+    ec = EngineConfig(model_path="", use_dummy=True, dtype="float32",
+                      block_size=16, num_hbm_blocks=64,
+                      num_cpu_blocks=0, max_blocks_per_seq=8,
+                      max_batch_size=B_BUCKET,
+                      max_tokens_in_batch=256, prefill_chunk_size=64,
+                      max_seqs_in_block_table=16, use_pallas=True)
+    model = LlamaModel(ec, mc)
+    model.load_weights()
+    model.init_kvcache_and_swap()
+    return model
+
+
+def test_multi_step_deferred_commit_matches_sequential(monkeypatch):
+    """Deferred KV commit (multi-step windows skip per-step cache writes,
+    one scatter after the scan) must be token-identical to sequential
+    single-step decode (fused per-step writes), across page boundaries."""
+    m1 = _make_pallas_model(monkeypatch, defer="1")
+    seq = _decode_sequential(m1, _prefill_reqs(m1), 8)
+    m2 = _make_pallas_model(monkeypatch, defer="1")
+    mult = _decode_multi(m2, _prefill_reqs(m2), S=4, n_dispatch=2)
+    assert mult == seq
+    # And the deferred/non-deferred multi-step paths agree with each other.
+    m3 = _make_pallas_model(monkeypatch, defer="0")
+    mult_nd = _decode_multi(m3, _prefill_reqs(m3), S=4, n_dispatch=2)
+    assert mult == mult_nd

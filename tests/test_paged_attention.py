@@ -550,3 +550,67 @@ def test_spec_span_small_q_bucket_long_history():
     rng = np.random.default_rng(47)
     case = make_case(rng, [(4, 300), (1, 512)], Pg=64, q_bucket=8)
     compare(*case, max_chunk_pages=8)
+
+
+def test_deferred_pending_matches_fused_stepwise():
+    """Deferred-commit decode (kv_pend/npend; multi-step windows) must match
+    the per-step fused-write kernel run sequentially: at inner step s the
+    cache holds only the pre-window history and the s+1 window tokens come
+    from the pending buffer. Covers partial validity (pad rows), page-
+    boundary crossings inside the window, and scattered page tables."""
+    rng = np.random.default_rng(7)
+    B, n_q, n_kv, hd, ps, Pg = 8, 4, 2, 64, 8, 8
+    W = 2 * n_kv * hd
+    S = 4
+    hist0 = np.array([17, 33, 5, 1, 9, 25, 0, 0])  # pad rows at the tail
+    valid = hist0 > 0
+    n_pages = B * Pg + 2
+    cache = rng.normal(size=(2, n_pages * ps, W)).astype(np.float32) * 0.5
+    pt = np.stack([np.arange(Pg) * B + b + 1 for b in range(B)]).astype(np.int32)
+    q_all = rng.normal(size=(S, B, n_q, hd)).astype(np.float32) * 0.5
+    kv_all = rng.normal(size=(S, B, W)).astype(np.float32) * 0.5
+
+    def mkbatch(s):
+        seq = np.where(valid, hist0 + s + 1, 0).astype(np.int32)
+        pos = np.where(valid, hist0 + s, 0).astype(np.int32)
+        slots = np.where(valid, pt[np.arange(B), pos // ps] * ps + pos % ps,
+                         n_pages * ps - ps)
+        return StepBatch(
+            token_ids=jnp.zeros(B, jnp.int32),
+            positions=jnp.asarray(pos),
+            q_starts=jnp.arange(B, dtype=jnp.int32),
+            q_lens=jnp.asarray(valid.astype(np.int32)),
+            seq_lens=jnp.asarray(seq),
+            page_table=jnp.asarray(pt),
+            kv_slots=jnp.asarray(slots.astype(np.int32)),
+            sample_mask=jnp.asarray(valid),
+        )
+
+    c_ref = jnp.asarray(cache)
+    outs_ref = []
+    for s in range(S):
+        o, c_ref = ragged_paged_attention(
+            jnp.asarray(q_all[s]), c_ref, jnp.int32(1), mkbatch(s),
+            n_kv=n_kv, page_size=ps, sm_scale=0.125, q_bucket=1,
+            kv_new=jnp.asarray(kv_all[s]), interpret=INTERPRET)
+        outs_ref.append(np.asarray(o))
+
+    from swiftllm_tpu.ops.paged_attention import decode_group_geometry
+    R, Bp, GB = decode_group_geometry(B)
+    RW = R * W
+    c_def = jnp.asarray(cache)   # never written in deferred mode
+    # Pending buffer in the kernel's group-major layout [L, GB, S*RW]:
+    # slot j of group g holds inner step j's R rows side by side.
+    pend = np.zeros((2, GB, S * RW), np.float32)
+    for s in range(S):
+        o = ragged_paged_attention(
+            jnp.asarray(q_all[s]), c_def, jnp.int32(1), mkbatch(s),
+            n_kv=n_kv, page_size=ps, sm_scale=0.125, q_bucket=1,
+            kv_new=jnp.asarray(kv_all[s]),
+            kv_pend=jnp.asarray(pend), npend=jnp.int32(s + 1),
+            interpret=INTERPRET)
+        np.testing.assert_allclose(
+            np.asarray(o)[:B][valid], outs_ref[s][:B][valid],
+            atol=ATOL, rtol=1e-4, err_msg=f"inner step {s}")
+        # merge step s's rows into slot s (as decode_multi_step does)
+        pend[1, :, s * RW:(s + 1) * RW] = kv_all[s].reshape(GB, RW)
