@@ -110,6 +110,18 @@ class EngineConfig:
                                        # speculation pays extra FLOPs for no
                                        # win there — and the cap pins the
                                        # spec token buckets warmup compiles
+    spec_adaptive: bool = True         # acceptance-adaptive drafting: scale
+                                       # each request's draft budget to its
+                                       # measured acceptance; suppress
+                                       # drafting (probing periodically) for
+                                       # requests whose drafts keep missing —
+                                       # a spec step costs a pipeline flush,
+                                       # so low-acceptance text must not pay
+                                       # it every step
+    spec_min_acceptance: float = 0.4   # suppress below this realized rate
+    spec_probe_interval: int = 32      # while suppressed, re-probe every Nth
+                                       # decode opportunity (history decays at
+                                       # each probe so regime changes recover)
 
     # --- multi-LoRA ---
     lora_paths: str = ""               # "name=/path,name2=/path2" HF-peft

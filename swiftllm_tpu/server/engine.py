@@ -414,6 +414,7 @@ class Engine:
                 r.output_logprobs.append(None)
                 entries.append((r, len(r.output_token_ids) - 1, i, s.drafts))
                 self.stats.num_spec_drafted += len(s.drafts)
+                r.spec_drafted += len(s.drafts)
                 continue
             r.num_cached_tokens += s.n_tokens if steps <= 1 else steps
             if was_prefill:
@@ -455,6 +456,7 @@ class Engine:
                         break           # token at span position j
                     vals.append(int(tokens2[i, j + 1]))
                 self.stats.num_spec_accepted += len(vals) - 1
+                r.spec_accepted += len(vals) - 1
             elif span > 1:
                 # Multi-step decode row: every span position is a real
                 # sampled token (the scan chained them on device).

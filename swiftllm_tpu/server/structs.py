@@ -70,6 +70,11 @@ class Request:
                                        # its KV pages live in that group's pool)
         self.req_index = next(_req_counter)   # global arrival order (FCFS key)
         self.stopped_on_eos = False
+        # Acceptance-adaptive speculative decoding (scheduler policy state):
+        # realized draft/accept counts and suppressed-probe counter.
+        self.spec_drafted = 0
+        self.spec_accepted = 0
+        self.spec_tries = 0
         self.aborted = False
         self.swapped = False           # KV currently lives in the CPU swap cache
         self.resources_freed = False   # pages/ids already released (idempotence)
