@@ -63,12 +63,12 @@ HBM_BW = {"v5e": 819e9, "v5 lite": 819e9, "v5litepod": 819e9,
           "v5p": 2765e9, "v4": 1228e9, "v6": 1640e9, "cpu": 100e9}
 
 SUITE = [
-    ["--model", "8b", "--batch", "16", "--context", "128", "--quant", "int8",
-     "--skip-prefill"],
-    # multi-step 8 + 64-token pages: the tuned serving config (multi-step
-    # decode is engine-integrated and lossless; sweep tools/sweep_ms.py).
+    # multi-step 16 + 64-token pages: the tuned offline-throughput config
+    # (multi-step decode is engine-integrated and lossless; ms16 measured
+    # +9% relative over ms8 in r5 — docs/RESULTS_r5.md; serving uses ms8
+    # for TPOT granularity).
     ["--model", "1b", "--batch", "64", "--context", "128", "--skip-prefill",
-     "--multi-step", "8", "--block-size", "64"],
+     "--multi-step", "16", "--block-size", "64"],
     # --profile-blocks: this entry sizes its cache via profile_num_blocks()
     # (the real-serving default path, VERDICT r2 weak #6) instead of an
     # explicit page count.
@@ -89,9 +89,9 @@ SUITE = [
     # Reference chart-grid extremes (README.md:93-103 axes): batch 128
     # decode, and a single-sequence long prefill.
     ["--model", "1b", "--batch", "128", "--context", "128", "--skip-prefill",
-     "--multi-step", "8", "--block-size", "64"],
+     "--multi-step", "16", "--block-size", "64"],
     ["--model", "1b", "--batch", "1", "--context", "16384", "--mode",
-     "prefill", "--prefill-chunk", "2048", "--max-tokens", "2048"],
+     "prefill", "--prefill-chunk", "4096", "--max-tokens", "4096"],
     # SARATHI mixed-step cost: decode TPOT with a concurrent chunk stream.
     ["--model", "1b", "--batch", "64", "--context", "128", "--mode", "mixed",
      "--steps", "16", "--block-size", "64"],
@@ -99,8 +99,15 @@ SUITE = [
     ["--model", "8b", "--quant", "int8", "--kv-capacity"],
     # REALIZED spec decoding through the full engine on a lookup-friendly
     # (periodic) workload: tok/s spec-on vs spec-off + measured acceptance.
+    # (Loses ~10x on a high-RTT tunneled chip — drafting needs resolved
+    # tokens, so every spec step drains the async pipeline; wins 1.10x on a
+    # local-link host. See docs/RESULTS_r4.md.)
     ["--model", "1b", "--batch", "8", "--context", "120", "--steps", "24",
      "--spec-realized"],
+    # Flagship last: the driver records the final JSON line as the round's
+    # headline metric.
+    ["--model", "8b", "--batch", "16", "--context", "128", "--quant", "int8",
+     "--skip-prefill"],
 ]
 
 
