@@ -283,13 +283,14 @@ def _decode_kernel_grouped(
     """
     if pend:
         # Deferred-commit variant (multi-step decode): NO cache write-back —
-        # the window's fresh tokens live in a pending side buffer (kv_new_ref
-        # carries the group's P pending K‖V rows, npend_ref says how many are
-        # live this inner step) and are committed once per window by the
-        # caller. All RMW machinery (w_buf/w_rsems/w_wsems/wpend, the
-        # per-group parity waits, the cache alias) drops out of the grid step
-        # — its issue cost was ~3.7 µs x B/R grid steps per layer, the
-        # dominant fixed cost of short-context decode (docs/RESULTS_r4.md).
+        # the window's COMPLETED tokens live in kv_pend_ref (npend_ref - 1 of
+        # them are live this inner step; kv_new_ref still carries the current
+        # token) and the caller commits the window once after the scan. All
+        # RMW machinery (w_buf/w_rsems/w_wsems/wpend, the per-group parity
+        # waits, the cache alias) drops out of the grid step. MEASURED
+        # NEGATIVE on v5e (r5, gated off by default): the write-back was
+        # already hidden behind the next group's compute (+1% deleted), and
+        # the window-commit scatter costs -17% — see docs/RESULTS_r5.md.
         if staged:
             (layer_ref, q_lens_ref, seq_lens_ref, npend_ref, sel_ref,
              q_ref, kv_new_ref, kv_pend_ref, cache_in, pt_hbm, o_ref,
