@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Any
 
 import jax
@@ -554,9 +555,26 @@ def forward_shard(
             sel = sel.astype(jnp.float32) * params["lora_scale"][None, :]
             return y + jnp.einsum("tno,tn->to", yl, sel).astype(y.dtype)
 
-        q = biased(lora_add(mproj(h, "wq"), h, "wq"), "bq").reshape(T, n_q_l, hd)
-        k = biased(lora_add(mproj(h, "wk"), h, "wk"), "bk").reshape(T, n_kv_l, hd)
-        v = biased(lora_add(mproj(h, "wv"), h, "wv"), "bv").reshape(T, n_kv_l, hd)
+        q_flat = biased(lora_add(mproj(h, "wq"), h, "wq"), "bq")
+        k_flat = biased(lora_add(mproj(h, "wk"), h, "wk"), "bk")
+        v_flat = biased(lora_add(mproj(h, "wv"), h, "wv"), "bv")
+        if T <= 256 and os.environ.get("SWIFTLLM_QKV_BARRIER", "1") == "1":
+            # Decode-size buckets: without this barrier XLA folds the
+            # head-reshape + RoPE into the projection GEMMs and satisfies the
+            # layout by RELAYOUTING THE WEIGHT — a materialized
+            # [1, D, D] dynamic-slice copy of wq per LAYER per STEP (8 MB at
+            # 1B dims, ~0.24 ms/step, measured in the r5 decode profile as
+            # constant_dynamic-slice_fusion). The barrier pins the GEMM
+            # output to its natural [T, D] form (256 KB — the cheap side) so
+            # rope runs as its own fusion and the weights stream untouched.
+            # Prefill buckets (large T) already choose activation-side
+            # layouts (the r4 flat-q finding); the barrier there would only
+            # block useful fusion.
+            q_flat, k_flat, v_flat = jax.lax.optimization_barrier(
+                (q_flat, k_flat, v_flat))
+        q = q_flat.reshape(T, n_q_l, hd)
+        k = k_flat.reshape(T, n_kv_l, hd)
+        v = v_flat.reshape(T, n_kv_l, hd)
         q = apply_rope(q, batch.positions, inv_freq, tables=rope_cs)
         k = apply_rope(k, batch.positions, inv_freq, tables=rope_cs)
 
