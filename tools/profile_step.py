@@ -44,6 +44,7 @@ def summarize(trace_dir: str, top: int = 28):
     total = 0.0
     agg = {}
     count = {}
+    longname = {}
     for e in events:
         if e.get("ph") != "X" or (e.get("pid"), e.get("tid")) not in op_lanes:
             continue
@@ -52,10 +53,20 @@ def summarize(trace_dir: str, top: int = 28):
         agg[name] = agg.get(name, 0.0) + dur
         count[name] = count.get(name, 0) + 1
         total += dur
+        # HLO long_name: shapes + operands — what turns an anonymous
+        # "fusion.N" into "8 MB dynamic-slice copy of the wq weight" (the r5
+        # decode weight-copy find came straight from this field).
+        if name not in longname:
+            ln = e.get("args", {}).get("long_name", "")
+            if ln:
+                longname[name] = ln
     print(f"\n== device op time (total {total:.2f} ms across trace) ==")
     for k, v in sorted(agg.items(), key=lambda kv: -kv[1])[:top]:
         print(f"{v:10.2f} ms  {100 * v / max(total, 1e-9):5.1f}%  "
               f"x{count[k]:<5d} {k[:110]}")
+        ln = longname.get(k, "")
+        if ln:
+            print(f"{'':24s}{ln[:150]}")
 
 
 def main():
