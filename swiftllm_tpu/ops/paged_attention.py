@@ -131,6 +131,17 @@ def kernel_supports(n_q: int, n_kv: int, hd: int, scale_lanes: int = 0) -> bool:
     return (n_q * hd) % 128 == 0 and W % 128 == 0 and W % hd == 0
 
 
+def _tile_bf16_scores() -> bool:
+    """Compute the tile kernel's softmax passes on bf16 scores. MEASURED
+    NEGATIVE on v5e (r5): 0.648 -> 0.568 of roofline at 1b/b8/c2048 — the
+    MXU accumulator must stay 32-bit (Mosaic), so bf16 needs an extra
+    f32->bf16 cast pass plus (8,128)->(16,128) tile relayouts that cost more
+    than the narrower exp2/mask passes save. Kept as a gated, tested record
+    of the experiment (the f32 softmax also preserves HF-exact numerics).
+    fp8/window paths keep f32 regardless."""
+    return os.environ.get("SWIFTLLM_TILE_BF16_SCORES", "0") == "1"
+
+
 def _interpret_default() -> bool:
     """SWIFTLLM_PALLAS_INTERPRET=1 runs every kernel in interpret mode — the
     CI hook that lets the FULL model path (use_pallas=True, shard_map tp>1)
@@ -1149,14 +1160,29 @@ def _tiles_kernel(
                         mask01 = (valid.astype(jnp.float32)
                                   if maskmul else None)
 
+                    # bf16 scores (opt-in): the [NG, chunk] score matrix and
+                    # the exp2 pass run in bf16 — the VPU softmax is the tile
+                    # kernel's bottleneck at hd=64, and halving its element
+                    # width halves those passes. Only on the standard path
+                    # (fp8 folds scales into the scores, window needs the
+                    # WIN_NEG sentinel ordering — both keep f32).
+                    bf16_sc = (_tile_bf16_scores() and krow is None
+                               and not window)
+                    s_dtype = jnp.bfloat16 if bf16_sc else jnp.float32
                     new_m, new_l, new_acc = [], [], []
                     for h in range(n_kv):
                         qh = qhs[h]                          # [NG, hd]
                         kh = kvs[:, h * hd:(h + 1) * hd]
                         vh = kvs[:, KH + h * hd:KH + (h + 1) * hd]
+                        # MXU accumulators must be 32-bit (Mosaic rejects a
+                        # bf16 preferred_element_type); the bf16-scores mode
+                        # narrows right after the matmul so the max/exp2/mask
+                        # passes run at half width.
                         s = jax.lax.dot_general(
                             qh, kh.astype(qh.dtype), (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)  # RAW scores
+                        if bf16_sc:
+                            s = s.astype(jnp.bfloat16)
                         if krow is not None:  # fp8: per-key unscale (+scale)
                             s = s * krow
                         elif window:
@@ -1180,15 +1206,17 @@ def _tiles_kernel(
                             if krow is None:
                                 mi = jnp.maximum(
                                     m[h],
-                                    jnp.max(s, axis=-1, keepdims=True) * K2E)
-                                p = jnp.exp2(s * K2E - mi)
+                                    jnp.max(s, axis=-1, keepdims=True)
+                                    .astype(jnp.float32) * K2E)
+                                p = jnp.exp2(s * s_dtype(K2E)
+                                             - mi.astype(s_dtype))
                             else:   # fp8: krow already folded K2E into s
                                 mi = jnp.maximum(
                                     m[h], jnp.max(s, axis=-1, keepdims=True))
                                 p = jnp.exp2(s - mi)
                             scale = jnp.exp2(m[h] - mi)
                         if masked and maskmul:
-                            p = p * mask01
+                            p = p * mask01.astype(p.dtype)
                         if vrow is not None or hd >= 128:
                             # fp8: l needs sum(p) UNscaled while p@V needs
                             # p*vrow — the rider column can't serve both. And

@@ -614,3 +614,31 @@ def test_deferred_pending_matches_fused_stepwise():
             atol=ATOL, rtol=1e-4, err_msg=f"inner step {s}")
         # merge step s's rows into slot s (as decode_multi_step does)
         pend[1, :, s * RW:(s + 1) * RW] = kv_all[s].reshape(GB, RW)
+
+
+def test_bf16_scores_close_to_f32(monkeypatch):
+    """Opt-in bf16-score softmax (SWIFTLLM_TILE_BF16_SCORES=1): same results
+    as the f32 path to bf16 probability precision (~1e-2 relative) — the
+    flag trades HF-exactness for halved VPU softmax passes."""
+    rng = np.random.default_rng(3)
+    case = make_case(rng, [(16, 40), (9, 9), (32, 64)], n_q=4, n_kv=2, hd=64)
+    q, cache, batch, qb = case
+    stacked = jnp.stack([jnp.zeros_like(cache), cache])
+    S, _, n_kv, hd = cache.shape
+    cache3 = stacked.reshape(2, S, 2 * n_kv * hd)
+
+    def run():
+        return np.asarray(ragged_paged_attention(
+            q, cache3, jnp.int32(1), batch, n_kv=n_kv, page_size=8,
+            sm_scale=0.125, q_bucket=qb, interpret=INTERPRET))
+
+    ref = run()
+    monkeypatch.setenv("SWIFTLLM_TILE_BF16_SCORES", "1")
+    got = run()
+    q_starts, q_lens = np.asarray(batch.q_starts), np.asarray(batch.q_lens)
+    for b in range(len(q_lens)):
+        if q_lens[b] == 0:
+            continue
+        sl = slice(int(q_starts[b]), int(q_starts[b] + q_lens[b]))
+        np.testing.assert_allclose(got[sl], ref[sl], atol=3e-2, rtol=3e-2,
+                                   err_msg=f"row {b}")
