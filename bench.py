@@ -251,7 +251,10 @@ def _arm_watchdog(deadline_s: float):
 def run_suite(isolate: bool = False):
     budget = float(os.environ.get("SWIFTLLM_BENCH_BUDGET", 1500))
     t_start = time.monotonic()
-    watchdog = _arm_watchdog(budget + 240.0)
+    # Tail covers the flagship (which is never budget-skipped): a flagship
+    # that STARTS must be allowed to finish before the hard-exit.
+    watchdog = _arm_watchdog(budget + 240.0
+                             + _config_cost_estimate(SUITE[-1]))
     if not _device_reachable():
         for extra in SUITE:
             print(json.dumps({"metric": "suite_" + "_".join(extra),
