@@ -81,8 +81,11 @@ SUITE = [
     # 0.471 vs 0.426 at 2048/step; 8192+ regressed).
     ["--model", "1b", "--batch", "8", "--context", "2048", "--mode", "prefill",
      "--max-tokens", "4096"],
+    # ms16 + 64-token pages: same lossless multi-step as the INT8 flagship
+    # (measured 0.698 vs 0.443 single-step within-session; INT4 stays ~34%
+    # faster than INT8 in absolute tok/s).
     ["--model", "8b", "--batch", "16", "--context", "128", "--quant", "int4",
-     "--skip-prefill"],
+     "--skip-prefill", "--multi-step", "16", "--block-size", "64"],
     ["--model", "1b", "--batch", "1", "--context", "131072", "--steps", "16",
      "--skip-prefill", "--multi-step", "16"],
     # Speculative-verify span steps at full acceptance (upper bound; realized
